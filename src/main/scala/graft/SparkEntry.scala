@@ -1,13 +1,334 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.link.Linker
+import graft.mention.MentionDetect
+import graft.model.{Mention, Vocab => V}
+import graft.multimodal.Multimodal
+import graft.pipeline.KgPipeline
+import graft.synth.PagesSynth
+import graft.text.TextOps
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data ops), with DuckDB-runnable `oracleSql`
+  * wherever the semantics are ANSI-SQL-expressible. Column names and types
+  * are aligned on both sides (the driver hash-compares values after sorting
+  * columns by name); money sums go through exact cents (bigint).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full web-text KG pipeline on the sf0.001-scaled corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    KgPipeline.triples(spark, PagesSynth.pageCount("sf0.001")).toDF()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ============ web-text KG pipeline (north rule; no SQL equivalent) ======
+    "kg_triples_by_pred" -> ((s, dir) => {
+      KgPipeline.triples(s, PagesSynth.pageCount(dir))
+        .groupBy("pred").agg(count(lit(1)).as("n_triples"))
+    }),
+    "kg_top_entities" -> ((s, dir) => {
+      import s.implicits._
+      val ext = KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir)))
+      KgPipeline.links(ext, PagesSynth.aliasMap)
+        .groupBy("entity_iri").agg(count(lit(1)).as("n_mentions"))
+    }),
+    "kg_extract_identity" -> ((s, dir) => {
+      KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir)))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("extract_ok"), 1L).otherwise(0L)).as("n_byte_identical"))
+    }),
+    "kg_link_relational" -> ((s, dir) => {
+      import s.implicits._
+      val ext = KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir)))
+      val bc = s.sparkContext.broadcast(MentionDetect.buildDictionary(PagesSynth.aliasMap.keys))
+      val mentions = ext.mapPartitions(_.flatMap(p => MentionDetect.detect(p.url, p.text, bc.value)))
+      Linker.linkRelational(mentions, PagesSynth.aliases(s).toDF())
+        .groupBy("entity_iri").agg(count(lit(1)).as("n_links"))
+    }),
+    "kg_link_precision_recall" -> ((s, dir) => {
+      import s.implicits._
+      val n = PagesSynth.pageCount(dir)
+      val ext = KgPipeline.extracted(PagesSynth.pages(s, n))
+      val produced = KgPipeline.links(ext, PagesSynth.aliasMap)
+        .select(col("url"), col("surface"), col("entity_iri")).distinct()
+      val gold = PagesSynth.golds(s, n)
+        .select(col("url"), col("surface"), col("entity_iri")).distinct()
+      val tp = produced.intersect(gold).count().toDouble
+      val p = if (produced.count() == 0) 1.0 else tp / produced.count()
+      val r = if (gold.count() == 0) 1.0 else tp / gold.count()
+      Seq((p, r)).toDF("precision", "recall")
+    }),
+
+    // ============ relational operators over the TPC-H-ish tables ============
+    "q1_pricing" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100)).cast("bigint").as("sum_base_cents"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)).cast("bigint").as("sum_disc_cents"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q3_priority_revenue" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val c = t(dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(dir, "orders")
+      val l = t(dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)).cast("bigint").as("revenue_cents"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+    "q_join_broadcast" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val c = t(dir, "customer"); val n = t(dir, "nation"); val r = t(dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(round(col("c_acctbal") * 100)).cast("bigint").as("acctbal_cents"))
+    }),
+    "q_window_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val c = t(dir, "customer")
+      val o = t(dir, "orders").filter(col("o_orderdate") < lit("1995-07-01"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers_no_orders"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val sup = t(dir, "supplier"); val l = t(dir, "lineitem")
+      sup.join(l, sup("s_suppkey") === l("l_suppkey"), "left_semi")
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_suppliers_with_lineitems"))
+    }),
+    "q_setops" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val l = t(dir, "lineitem")
+      val early = l.filter(col("l_shipdate") < lit("1996-01-01")).select("l_orderkey").distinct()
+      val late = l.filter(col("l_shipdate") >= lit("1996-01-01")).select("l_orderkey").distinct()
+      early.except(late).withColumnRenamed("l_orderkey", "early_only_orderkey")
+    }),
+    "q_rollup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"))
+    }),
+    "ev_hourly" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "events")
+        .groupBy(col("event_type"), unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100)).cast("bigint").as("value_cents"))
+    }),
+    "ev_sessions" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      t(dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L).otherwise(0L))
+        .groupBy("user_id").agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ============ training-data ops: documents ==============================
+    "doc_dedup_exact" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.exactGroups(t(dir, "documents"))
+    }),
+    "doc_token_count" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(
+        col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_ws_tokens"))
+    }),
+    "doc_quality_sql" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digits"))
+    }),
+    "doc_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, txt) =>
+          val q = TextOps.quality(txt)
+          (id, q.n_tokens, q.stopword_hits, math.round(q.score * 1000))
+        })
+        .toDF("doc_id", "n_tokens", "stopword_hits", "score_milli")
+    }),
+    "doc_langid" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) => (id, TextOps.langId(text)) })
+        .toDF("doc_id", "lang_pred")
+    }),
+    "doc_simhash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.simhashes(t(dir, "documents"))
+    }),
+    "doc_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, txt) => (id, TextOps.fingerprint64(txt)) })
+        .toDF("doc_id", "fingerprint64")
+    }),
+    "doc_minhash_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.minhashPairs(t(dir, "documents"), threshold = 0.3)
+        .select(col("doc_a"), col("doc_b")) // drop float jaccard from compare
+    }),
+    "doc_simhash_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.simhashPairs(t(dir, "documents"), maxHamming = 10)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
+    // ============ training-data ops: embeddings =============================
+    "emb_knn_brute" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Ann.bruteTopK(emb, Ann.headQueries(emb, 20), k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+    }),
+    "emb_knn_lsh" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Ann.lshTopK(emb, Ann.headQueries(emb, 20), k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+    }),
+    "emb_dedup_cosine" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.embeddingPairs(t(dir, "embeddings"), threshold = 0.95)
+        .select(col("vec_a"), col("vec_b"))
+    }),
+    "emb_label_knn_purity" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      val top1 = Ann.bruteTopK(emb, Ann.headQueries(emb, 50), k = 1)
+      val labels = emb.select(col("vec_id"), col("label"))
+      top1.join(labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed("label", "q_label"), "query_id")
+        .join(labels.withColumnRenamed("label", "n_label"), "vec_id")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L)).as("n_same_label"))
+    }),
+
+    // ============ multimodal plumbing (stubbed codecs) ======================
+    "mm_decode_meta" -> ((s, dir) => {
+      Multimodal.decodeMeta(Multimodal.syntheticMedia(s, 500))
+    }),
+    "mm_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 500))
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
+    })
+  )
+
+  /** DuckDB oracle SQL per query (omitted => rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(SUM(ROUND(l_extendedprice*100)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS sum_disc_cents,
+           COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q3_priority_revenue" ->
+      """SELECT o_orderpriority,
+           CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS revenue_cents,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+         FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON o_orderkey=l_orderkey
+         WHERE c_mktsegment='BUILDING' GROUP BY o_orderpriority""",
+    "q_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+           CAST(SUM(ROUND(c_acctbal*100)) AS BIGINT) AS acctbal_cents
+         FROM customer JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+         GROUP BY r_name""",
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+           SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders) t WHERE rnk <= 3""",
+    "q_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers_no_orders FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey=c_custkey AND o_orderdate < TIMESTAMP '1995-07-01')
+         GROUP BY c_nationkey""",
+    "q_semi_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers_with_lineitems FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey=s_suppkey)
+         GROUP BY s_nationkey""",
+    "q_setops" ->
+      """SELECT l_orderkey AS early_only_orderkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+         EXCEPT
+         SELECT l_orderkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'""",
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+              COALESCE(l_linestatus,'ALL') AS linestatus, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "ev_hourly" ->
+      """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(ROUND(value*100)) AS BIGINT) AS value_cents
+         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "ev_sessions" ->
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+           SELECT user_id,
+             CASE WHEN prev_ts IS NULL OR epoch(ts)-epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+                 FROM events) a) b GROUP BY user_id""",
+    "doc_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+         FROM documents GROUP BY md5(text)""",
+    "doc_token_count" ->
+      """SELECT doc_id,
+           CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens
+         FROM documents""",
+    "doc_quality_sql" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+         FROM documents""",
+    "emb_knn_brute" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings ORDER BY vec_id LIMIT 20)
+         SELECT qid AS query_id, vec_id, rank FROM (
+           SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id ASC) AS rank
+           FROM q, embeddings e WHERE e.vec_id <> q.qid) t WHERE rank <= 5"""
+  )
 }

@@ -1,0 +1,168 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Document deduplication operators for the training-data pipeline.
+  *
+  * Scale design: every near-dup variant is LSH-banded — signatures are
+  * computed in a narrow pass, candidate generation shuffles only
+  * (band, bandHash) keys whose bucket sizes are bounded by construction,
+  * and verification joins texts back only for the candidate pairs (a tiny
+  * fraction of n²). Exact dedup is a single hash aggregate with map-side
+  * partial aggregation. All signature functions are frozen (TextOps), so
+  * results are partition-invariant.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct text with its count and
+    * canonical (minimum) doc_id. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+
+  /** doc_id -> keep/drop decision under exact dedup (keep = min doc_id). */
+  def exactKeep(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text")))
+      .withColumn("canonical_doc_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text_md5")))
+      .select(col("doc_id"), col("text_md5"),
+        (col("doc_id") === col("canonical_doc_id")).as("keep"))
+
+  private def textsById(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+
+  /** MinHash signatures: (doc_id, band, band_hash) rows. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val sig = TextOps.minhashSignatureL(TextOps.shingleHashes(text))
+        TextOps.bandKeys(sig).map { case (b, h) => (id, b, h) }
+      })
+      .toDF("doc_id", "band", "band_hash")
+  }
+
+  /** Max bucket size expanded into pairs — a hot bucket beyond this is a
+    * degenerate near-dup cluster; its pairs are capped to protect the job
+    * (the first `MaxBucket` members still pair with each other). */
+  val MaxBucket = 1000
+
+  /** Candidate pairs from shared LSH buckets (doc_a < doc_b, distinct).
+    * One aggregation over the band rows — the signature stage is computed
+    * exactly once (a self-join would recompute it per side), and in-bucket
+    * pair expansion is local to each bucket. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    bands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids0 =>
+        val ids = ids0.distinct.sorted.take(MaxBucket)
+        for { i <- ids.indices.iterator; j <- (i + 1) until ids.size } yield (ids(i), ids(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs verified by exact n-gram Jaccard. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cands = candidatePairs(minhashBands(docs))
+    val texts = textsById(docs)
+    cands
+      .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      // using-column joins move the key first — pin the order before decoding
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.flatMap { case (a, b, ta, tb) =>
+        val j = TextOps.jaccardL(TextOps.shingleHashes(ta), TextOps.shingleHashes(tb))
+        if (j >= threshold) Some((a, b, j)) else None
+      })
+      .toDF("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash per document. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, TextOps.simhash64(t)) })
+      .toDF("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs: band 64 bits into 4x16-bit keys (any pair with
+    * hamming <= 3 shares at least one band by pigeonhole), verify hamming.
+    * Same single-aggregation bucket expansion as [[candidatePairs]]; the
+    * simhash rides along so verification needs no join back. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = simhashes(docs).as[(Long, Long)]
+    val banded = sh.flatMap { case (id, s) =>
+      (0 until 4).map(b => (id, s, b, (s >>> (16 * b)) & 0xffffL))
+    }.toDF("doc_id", "simhash", "band", "key")
+    banded
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(col("members")).as[Seq[(Long, Long)]]
+      .flatMap { members0 =>
+        val members = members0.distinct.sortBy(_._1).take(MaxBucket)
+        for {
+          i <- members.indices.iterator
+          j <- (i + 1) until members.size
+          d = TextOps.hamming(members(i)._2, members(j)._2)
+          if d <= maxHamming
+        } yield (members(i)._1, members(j)._1, d)
+      }
+      .toDF("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
+
+  /** Embedding near-dup pairs: hyperplane-LSH bucket join, cosine verify. */
+  def embeddingPairs(emb: DataFrame, threshold: Double, bits: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (TextOps.hyperplaneBucket(v, bits), id, v) })
+      .toDF("bucket", "vec_id", "embedding")
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(col("members")).as[Seq[(Long, Array[Float])]]
+      .flatMap { members0 =>
+        val members = members0.sortBy(_._1).take(MaxBucket)
+        for {
+          i <- members.indices.iterator
+          j <- (i + 1) until members.size
+          c = TextOps.cosine(members(i)._2, members(j)._2)
+          if c >= threshold
+        } yield (members(i)._1, members(j)._1, c)
+      }
+      .toDF("vec_a", "vec_b", "cosine")
+  }
+
+  /** Brute-force pairwise n-gram Jaccard (test oracle / tiny inputs only). */
+  def bruteJaccardPairs(docs: DataFrame, threshold: Double): Vector[(Long, Long, Double)] = {
+    val rows = docs.select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), TextOps.shingleHashes(r.getString(1))))
+    val out = Vector.newBuilder[(Long, Long, Double)]
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val (ia, sa) = rows(i); val (ib, sb) = rows(j)
+      val (x, y) = if (ia < ib) (ia, ib) else (ib, ia)
+      val jac = TextOps.jaccardL(sa, sb)
+      if (jac >= threshold) out += ((x, y, jac))
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,40 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Link, Mention}
+
+/** Entity-link scoring against the alias index.
+  *
+  * Two equivalent paths:
+  *
+  *  - [[resolve]]: the narrow fast path used by the pipeline. All candidates
+  *    for a mention share its alias key, so top-1 selection is local — the
+  *    broadcast map carries candidates pre-sorted best-first and the winner
+  *    is `head`. Zero shuffles.
+  *
+  *  - [[linkRelational]]: the declarative equivalent (broadcast hash join +
+  *    max_by), exposed through SparkEntry for the DuckDB oracle and for
+  *    plans where the alias index outgrows a local map. Deterministic
+  *    tie-break on (prior desc, entity_iri asc).
+  */
+object Linker {
+
+  def resolve(mention: Mention, aliasMap: Map[String, Vector[(String, Double)]]): Option[Link] =
+    aliasMap.get(mention.alias_norm).map { candidates =>
+      val (iri, prior) = candidates.head
+      Link(mention.url, mention.span_start, mention.span_end, mention.surface, iri, prior)
+    }
+
+  def linkRelational(mentions: Dataset[Mention], aliases: DataFrame): DataFrame = {
+    val joined = mentions.join(broadcast(aliases), "alias_norm")
+    joined
+      .groupBy("url", "span_start", "span_end", "surface")
+      .agg(min_by(
+        struct(col("entity_iri"), col("prior")),
+        struct((col("prior") * -1).as("negPrior"), col("entity_iri"))).as("best"))
+      .select(
+        col("url"), col("span_start"), col("span_end"), col("surface"),
+        col("best.entity_iri").as("entity_iri"), col("best.prior").as("score"))
+  }
+}

@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.TextExtract
+import graft.link.Linker
+import graft.mention.MentionDetect
+import graft.model.{Link, Mention, Page, Triple, Vocab => V}
+import graft.synth.PagesSynth
+
+/** The web-text KG-construction pipeline (north rule): pages → deterministic
+  * text extraction → mention detection → broadcast entity linking → triple
+  * emission → salted, partitioned graph write.
+  *
+  * Shuffle topology at scale: the extract/mention/link stages are NARROW
+  * (mapPartitions over a broadcast dictionary — the generalization of the
+  * reference's in-row index lookups, SURVEY.md §2.3); the only shuffle is
+  * the final salted repartition that spreads hot-host/hot-entity subjects
+  * before the write. Ontology triples are emitted once per job, not per row
+  * (the analog of the reference's lazily-created-once classes/properties,
+  * CityModel.cpp:382-474).
+  */
+object KgPipeline {
+
+  final case class ExtractedPage(url: String, text: String, lang: String, warc_ms: Long, extract_ok: Boolean)
+
+  /** Stage 1 — frozen text extraction + byte-identity check per url. */
+  def extracted(pages: Dataset[Page]): Dataset[ExtractedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions(_.map { p =>
+      val ext = TextExtract.extract(p.html)
+      ExtractedPage(p.url, ext, p.lang, p.warc_ts.getTime, ext == p.text)
+    })
+  }
+
+  /** Stage 2+3 — mention detection + top-1 link scoring, one narrow pass.
+    * The alias dictionary and candidate map ride a broadcast. */
+  def links(extracted: Dataset[ExtractedPage], aliasMap: Map[String, Vector[(String, Double)]]): Dataset[Link] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    val bcast = spark.sparkContext.broadcast(aliasMap)
+    val bdict = spark.sparkContext.broadcast(MentionDetect.buildDictionary(aliasMap.keys))
+    extracted.mapPartitions { it =>
+      val am = bcast.value
+      val dict = bdict.value
+      it.flatMap { p =>
+        MentionDetect.detect(p.url, p.text, dict)
+          .flatMap(mn => Linker.resolve(mn, am))
+      }
+    }
+  }
+
+  /** Stage 4 — triple emission: page node triples + mention edges. */
+  def pageTriples(extracted: Dataset[ExtractedPage], aliasMap: Map[String, Vector[(String, Double)]]): Dataset[Triple] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    val bcast = spark.sparkContext.broadcast(aliasMap)
+    val bdict = spark.sparkContext.broadcast(MentionDetect.buildDictionary(aliasMap.keys))
+    extracted.mapPartitions { it =>
+      val am = bcast.value
+      val dict = bdict.value
+      it.flatMap { p =>
+        val base = Iterator(
+          Triple(p.url, V.RdfType, V.WebPage, null, null),
+          Triple(p.url, V.WebLang, null, p.lang, V.XsdString),
+          Triple(p.url, V.WebWarcTs, null, p.warc_ms.toString, V.XsdLong),
+          Triple(p.url, V.WebNChars, null, p.text.length.toString, V.XsdLong))
+        val mentions = MentionDetect.detect(p.url, p.text, dict).flatMap(mn => Linker.resolve(mn, am))
+          .iterator.map(l => Triple(p.url, V.WebMentions, l.entity_iri, s"${l.span_start}:${l.span_end}", null))
+        base ++ mentions
+      }
+    }
+  }
+
+  /** Once-per-job ontology + entity registry triples (deterministic, tiny). */
+  def ontologyTriples(spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    val vocab = Vector(
+      Triple(V.WebPage, V.RdfType, V.OwlClass, null, null),
+      Triple("web:Entity", V.RdfType, V.OwlClass, null, null),
+      Triple(V.WebMentions, V.RdfType, V.OwlObjectProperty, null, null),
+      Triple(V.WebMentions, V.GraftRange, "web:Entity", null, null),
+      Triple(V.WebLang, V.RdfType, V.OwlDatatypeProperty, null, null),
+      Triple(V.WebWarcTs, V.RdfType, V.OwlDatatypeProperty, null, null),
+      Triple(V.WebNChars, V.RdfType, V.OwlDatatypeProperty, null, null))
+    val entities = (0 until PagesSynth.NumEntities).flatMap { i =>
+      val iri = PagesSynth.entityIri(i)
+      Vector(
+        Triple(iri, V.RdfType, "web:Entity", null, null),
+        Triple(iri, V.RdfName, null, PagesSynth.canonicalAlias(i), V.XsdString))
+    }
+    spark.createDataset(vocab ++ entities)
+  }
+
+  /** Full lazy plan: synthesized corpus of n pages → triples. */
+  def triples(spark: SparkSession, n: Long): Dataset[Triple] = {
+    val ext = extracted(PagesSynth.pages(spark, n))
+    pageTriples(ext, PagesSynth.aliasMap).unionAll(ontologyTriples(spark))
+  }
+
+  /** Salted repartition for the graph write (north rule): partition key is
+    * (subj, salt) where the salt fans a HOT subject out over up to
+    * `saltFanout` buckets using the rest of the row — subject locality is
+    * mostly kept for downstream reads, but no single hot host/entity can pin
+    * a partition. The subject distribution is Zipf by construction. */
+  def saltedForWrite(triples: Dataset[Triple], parts: Int, saltFanout: Int = 16): Dataset[Triple] =
+    triples.repartition(parts, col("subj"),
+      pmod(xxhash64(col("pred"), coalesce(col("obj_iri"), lit("")), coalesce(col("obj_lit"), lit(""))),
+        lit(saltFanout)))
+
+  /** Checkpoint-resumable stage materialization (SURVEY.md §2.7): each stage
+    * writes parquet + a manifest carrying the stage fingerprint and
+    * per-partition row counts (the lineage record). A later run with the
+    * same fingerprint skips the compute and reads the parquet back.
+    */
+  def runStage[T](spark: SparkSession, name: String, outDir: String, fingerprint: String)(
+      compute: => Dataset[T])(implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    val stagePath = s"$outDir/$name"
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$stagePath/_graft_manifest.json")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    if (fs.exists(manifestPath)) {
+      val manifest = new String(readFully(fs, manifestPath), "UTF-8")
+      if (manifest.contains(s""""fingerprint":"$fingerprint"""")) {
+        return spark.read.parquet(stagePath).as[T]
+      }
+    }
+
+    val ds = compute
+    ds.write.mode(SaveMode.Overwrite).parquet(stagePath)
+    val back = spark.read.parquet(stagePath)
+    // per-partition lineage: rows per parquet file of this stage
+    val perFile = back
+      .select(input_file_name().as("file"))
+      .groupBy("file").count()
+      .collect()
+      .map(r => s"""{"file":"${r.getString(0).split('/').last}","rows":${r.getLong(1)}}""")
+      .mkString("[", ",", "]")
+    val total = back.count()
+    val manifest =
+      s"""{"stage":"$name","fingerprint":"$fingerprint","rows":$total,"partitions":$perFile}"""
+    writeString(fs, manifestPath, manifest)
+    spark.read.parquet(stagePath).as[T]
+  }
+
+  private def readFully(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def writeString(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** End-to-end materialized run with checkpoint-resume at every stage
+    * boundary; returns the triples (read back from the graph table). */
+  def run(spark: SparkSession, n: Long, outDir: String, writeParts: Int = 32): Dataset[Triple] = {
+    import spark.implicits._
+    val fp = s"v${TextExtract.version}-n$n"
+    val ext = runStage(spark, "extracted", outDir, fp) { extracted(PagesSynth.pages(spark, n)) }
+    val tr = runStage(spark, "triples", outDir, fp) {
+      saltedForWrite(pageTriples(ext, PagesSynth.aliasMap).unionAll(ontologyTriples(spark)), writeParts)
+    }
+    tr
+  }
+}

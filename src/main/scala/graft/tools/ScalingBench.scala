@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.KgPipeline
+import graft.synth.PagesSynth
+
+/** One scaling-rule measurement (BASELINE.json north rule: throughput
+  * scaling efficiency >= 0.8 from N to 4N executors; sandbox proxy = the
+  * same job at local[N] vs local[4N] on identical input).
+  *
+  * Runs the full KG pipeline once at the requested parallelism and prints
+  * one JSON line. Each parallelism level gets its OWN JVM (invoke this main
+  * twice) so measurements do not share session/GC state; the efficiency is
+  * computed by the caller. The corpus is scaled up (default 10x the bench
+  * corpus) so the job runs long enough that fixed scheduling overhead does
+  * not swamp the scaling signal.
+  *
+  * Usage: runMain graft.tools.ScalingBench <cores> [sfDir] [pagesMult]
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 2) args(2).toInt else 10
+    val pages = PagesSynth.pageCount(sfDir) * mult
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // warm-up: JIT + codegen at the same parallelism, untimed — must be big
+    // enough that C2 compilation of the whole chain completes before timing
+    KgPipeline.triples(spark, 50000).count()
+
+    // two timed reps; report the best (JIT/GC noise is one-sided)
+    val reps = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val triples = KgPipeline.triples(spark, pages).count()
+      (triples, (System.nanoTime() - t0) / 1e9)
+    }
+    val (triples, sec) = reps.minBy(_._2)
+    val tps = (triples / sec).toLong
+    val allSecs = reps.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
+    println(f"""{"scaling_point":true,"cores":$cores,"pages":$pages,"triples":$triples,"sec":$sec%.2f,"all_secs":$allSecs,"triples_per_sec":$tps}""")
+    spark.stop()
+  }
+}

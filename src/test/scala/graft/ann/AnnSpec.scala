@@ -1,0 +1,72 @@
+package graft.ann
+
+import graft.SparkTestBase
+import graft.text.TextOps
+import graft.util.Rng
+
+class AnnSpec extends SparkTestBase {
+
+  /** clustered vectors: 10 centers, 40 points each, strong cluster signal */
+  private def clustered() = {
+    val sps = spark; import sps.implicits._
+    val centers = (0 until 10).map { c =>
+      val rng = Rng.at(77, c)
+      Array.fill(32)(rng.nextDouble() * 2 - 1)
+    }
+    val rows = (0 until 400).map { i =>
+      val c = i % 10
+      val rng = Rng.at(177, i)
+      val v = centers(c).map(x => (x + 0.08 * (rng.nextDouble() * 2 - 1)).toFloat)
+      (i.toLong, v, c)
+    }
+    spark.createDataset(rows).toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k matches a local exact computation") {
+    val emb = clustered()
+    val queries = Ann.headQueries(emb, 5)
+    val result = Ann.bruteTopK(emb, queries, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Int]("rank")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toVector).toMap
+
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    queries.foreach { case (qid, qv) =>
+      val expected = all.filter(_._1 != qid)
+        .map { case (id, v) => (id, TextOps.cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toVector
+      assert(result(qid) == expected, s"query $qid")
+    }
+  }
+
+  test("top-1 neighbor shares the cluster label (exact and LSH)") {
+    val emb = clustered()
+    val queries = Ann.headQueries(emb, 20)
+    def purity(df: org.apache.spark.sql.DataFrame): Double = {
+      val top1 = df.filter(df("rank") === 1).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      val got = top1.count { case (q, n) => (q % 10) == (n % 10) }
+      got.toDouble / top1.length
+    }
+    assert(purity(Ann.bruteTopK(emb, queries, 1)) == 1.0)
+    assert(purity(Ann.lshTopK(emb, queries, 1)) >= 0.9)
+  }
+
+  test("LSH top-k recall vs brute force is high on clustered data") {
+    val emb = clustered()
+    val queries = Ann.headQueries(emb, 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = pairs(Ann.bruteTopK(emb, queries, 5))
+    val lsh = pairs(Ann.lshTopK(emb, queries, 5))
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("results are partition-invariant") {
+    val emb = clustered()
+    val queries = Ann.headQueries(emb, 5)
+    def res(parts: Int) = Ann.bruteTopK(emb.repartition(parts), queries, 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Int]("rank"))).toSet
+    assert(res(1) == res(7))
+  }
+}

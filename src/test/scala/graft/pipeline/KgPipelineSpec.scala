@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.extract.TextExtract
+import graft.link.Linker
+import graft.mention.MentionDetect
+import graft.model.Mention
+import graft.synth.PagesSynth
+
+class KgPipelineSpec extends SparkTestBase {
+
+  private val N = 300L
+
+  test("extraction is byte-identical to the text column for every synthetic page") {
+    val ext = KgPipeline.extracted(PagesSynth.pages(spark, N))
+    val bad = ext.filter(!col("extract_ok")).count()
+    assert(bad == 0L)
+  }
+
+  test("extraction is partition-invariant (1 vs 7 partitions)") {
+    val sps = spark; import sps.implicits._
+    val a = KgPipeline.extracted(PagesSynth.pages(spark, N).repartition(1))
+      .select("url", "text").as[(String, String)].collect().sortBy(_._1)
+    val b = KgPipeline.extracted(PagesSynth.pages(spark, N).repartition(7))
+      .select("url", "text").as[(String, String)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("link precision/recall vs planted gold is >= 0.95 (north-star gate)") {
+    val ext = KgPipeline.extracted(PagesSynth.pages(spark, N))
+    val produced = KgPipeline.links(ext, PagesSynth.aliasMap)
+      .select("url", "surface", "entity_iri").distinct()
+    val gold = PagesSynth.golds(spark, N).select("url", "surface", "entity_iri").distinct()
+    val tp = produced.intersect(gold).count().toDouble
+    val p = tp / produced.count()
+    val r = tp / gold.count()
+    assert(p >= 0.95, s"precision $p")
+    assert(r >= 0.95, s"recall $r")
+  }
+
+  test("narrow link path and relational broadcast-join path agree exactly") {
+    val sps = spark; import sps.implicits._
+    val ext = KgPipeline.extracted(PagesSynth.pages(spark, N))
+    val narrow = KgPipeline.links(ext, PagesSynth.aliasMap)
+      .select("url", "span_start", "span_end", "entity_iri")
+    val bc = spark.sparkContext.broadcast(MentionDetect.buildDictionary(PagesSynth.aliasMap.keys))
+    val mentions = ext.mapPartitions(_.flatMap(p => MentionDetect.detect(p.url, p.text, bc.value)))
+    val relational = Linker.linkRelational(mentions, PagesSynth.aliases(spark).toDF())
+      .select("url", "span_start", "span_end", "entity_iri")
+    assert(narrow.except(relational).count() == 0)
+    assert(relational.except(narrow).count() == 0)
+  }
+
+  test("ambiguous aliases resolve to the higher-prior candidate") {
+    // entity 3 (i%9==3) claims canonicalAlias(4) with prior 0.2; owner 4 has higher prior
+    val alias4 = PagesSynth.canonicalAlias(4)
+    val cands = PagesSynth.aliasMap(alias4)
+    assert(cands.size == 2)
+    assert(cands.head._1 == PagesSynth.entityIri(4))
+    val m = Mention("u", 0, 1, alias4, alias4)
+    assert(Linker.resolve(m, PagesSynth.aliasMap).get.entity_iri == PagesSynth.entityIri(4))
+  }
+
+  test("triples carry page nodes, mention edges and the once-per-job ontology") {
+    val tr = KgPipeline.triples(spark, N)
+    val byPred = tr.groupBy("pred").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPred("web:lang") == N)
+    assert(byPred("web:n_chars") == N)
+    assert(byPred("rdf:type") >= N + PagesSynth.NumEntities) // pages + entities + vocab
+    assert(byPred.contains("web:mentions"))
+    assert(byPred("rdf:name") == PagesSynth.NumEntities)
+  }
+
+  test("checkpoint-resume: second run reads materialized stages, same result") {
+    val dir = Files.createTempDirectory("kgrun").toString
+    val t1 = KgPipeline.run(spark, 100, dir, writeParts = 4).count()
+    // tamper-proof: re-run must take the manifest path and agree
+    val t2 = KgPipeline.run(spark, 100, dir, writeParts = 4).count()
+    assert(t1 == t2)
+    val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/triples/_graft_manifest.json"))
+    assert(manifest.contains("\"fingerprint\":\"v1-n100\""))
+    assert(manifest.contains("\"partitions\":["))
+  }
+
+  test("salted write spreads skewed subjects across partitions") {
+    val sps = spark; import sps.implicits._
+    val tr = KgPipeline.triples(spark, N)
+    val parts = KgPipeline.saltedForWrite(tr, 8)
+      .mapPartitions(it => Iterator(it.size)).collect()
+    assert(parts.length == 8)
+    val total = parts.sum.toDouble
+    // no partition holds more than 40% of a Zipf-skewed corpus after salting
+    assert(parts.max / total < 0.4, parts.mkString(","))
+  }
+
+  test("extractor handles entities, comments, nested boilerplate deterministically") {
+    val html = """<html><head><title>T &amp; t</title><style>x{}</style></head>
+      |<body><nav>skip<div>inner</div></nav><!-- c --><p>a &lt;b&gt; c</p>
+      |<div>tail &#65;</div><footer>f</footer></body></html>""".stripMargin
+    assert(TextExtract.extract(html) == "T & t\na <b> c\ntail A")
+  }
+}
