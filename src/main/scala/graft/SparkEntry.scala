@@ -246,6 +246,21 @@ object SparkEntry {
           sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L)).as("n_same_label"))
     }),
 
+    // ============ CityJSON reference semantics, distributed =================
+    "cj_triples_by_pred" -> ((s, dir) => {
+      graft.cj.CjSpark.convert(graft.cj.CjSpark.referenceCorpus(s))
+        .groupBy("pred").agg(count(lit(1)).as("n_triples"))
+    }),
+    "cj_doc_stats" -> ((s, dir) => {
+      graft.cj.CjSpark.convertStats(graft.cj.CjSpark.referenceCorpus(s)).toDF()
+    }),
+    "cj_log_categories" -> ((s, dir) => {
+      // the CLI's per-category log dedup (Main.cpp:63-65) as a relational op
+      graft.cj.CjSpark.convertLogs(graft.cj.CjSpark.referenceCorpus(s))
+        .dropDuplicates("category")
+        .groupBy("level").agg(count(lit(1)).as("n_categories"))
+    }),
+
     // ============ multimodal plumbing (stubbed codecs) ======================
     "mm_decode_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(Multimodal.syntheticMedia(s, 500))
