@@ -23,7 +23,8 @@ object Bench {
   /** queries timed by the bench (subset of SparkEntry.queries + pipeline) */
   val benchQueries: Vector[String] = Vector(
     "q1_pricing", "q3_priority_revenue", "q_window_topk", "ev_sessions",
-    "doc_minhash_pairs", "doc_simhash_pairs", "emb_knn_brute", "kg_top_entities")
+    "doc_minhash_pairs", "doc_simhash_pairs", "emb_knn_brute", "kg_top_entities",
+    "kg_link_relational", "cj_doc_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

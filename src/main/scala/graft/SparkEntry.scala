@@ -163,6 +163,20 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.exactGroups(t(dir, "documents"))
     }),
+    "doc_dedup_keep" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.exactKeep(t(dir, "documents"))
+    }),
+    "q_approx_distinct" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // approx_count_distinct (HLL++) beside the exact count; the oracle
+      // covers the exact column, the approx column is bounded in tests
+      t(dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) / col("exact_parts") <= 0.1).as("approx_within_10pct"))
+    }),
     "doc_token_count" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       t(dir, "documents").select(
@@ -329,6 +343,13 @@ object SparkEntry {
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
          FROM documents GROUP BY md5(text)""",
+    "doc_dedup_keep" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+         FROM documents""",
+    "q_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_within_10pct
+         FROM lineitem""",
     "doc_token_count" ->
       """SELECT doc_id,
            CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens

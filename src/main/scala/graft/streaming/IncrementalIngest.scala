@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.Page
+import graft.pipeline.KgPipeline
+import graft.synth.PagesSynth
+
+/** Incremental page ingestion (SURVEY.md §2.7): a `Trigger.AvailableNow`
+  * file stream over page parquet snapshots — each invocation processes only
+  * snapshot files not yet recorded in the streaming checkpoint, runs the
+  * SAME narrow extract→mention→link→triples stages as the batch pipeline,
+  * and appends to the graph table. Watermarks/stateful ops are deliberately
+  * absent (the north rule wants checkpoint-resumable batch, not continuous
+  * streaming); this is the catch-up path for new crawl snapshots.
+  */
+object IncrementalIngest {
+
+  val pageSchema = Encoders.product[Page].schema
+
+  /** Start one catch-up pass; returns the query (await termination to let
+    * AvailableNow drain everything currently in `pagesDir`). */
+  def start(spark: SparkSession, pagesDir: String, graphDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(pagesDir)
+      .as[Page]
+    val triples = KgPipeline.pageTriples(KgPipeline.extracted(pages), PagesSynth.aliasMap)
+    triples.writeStream
+      .format("parquet")
+      .option("path", graphDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Convenience: run one pass to completion. */
+  def runOnce(spark: SparkSession, pagesDir: String, graphDir: String, checkpointDir: String): Unit = {
+    val q = start(spark, pagesDir, graphDir, checkpointDir)
+    q.awaitTermination()
+  }
+}
