@@ -303,7 +303,25 @@ private[cj] final class CjModel(docIri: String, val settings: CjSettings) {
   def setDatatype(inst: String, prop: String, lit: String, xsd: String): Unit =
     emit(inst, prop, null, lit, xsd)
   def setDatatypeDoubles(inst: String, prop: String, values: Seq[Double]): Unit =
-    emit(inst, prop, null, values.map(fmtD).mkString("[", ",", "]"), V.XsdDoubleArray)
+    emit(inst, prop, null, lexDoubles(values), V.XsdDoubleArray)
+
+  /** JSON-array lexical forms via direct StringBuilder appends — these carry
+    * the mesh payload (the bulk of the output bytes), so no per-element
+    * intermediate strings. */
+  def lexDoubles(values: Iterable[Double]): String = {
+    val sb = new java.lang.StringBuilder(values.size * 8 + 2)
+    sb.append('[')
+    var first = true
+    values.foreach { v => if (!first) sb.append(','); sb.append(v); first = false }
+    sb.append(']').toString
+  }
+  def lexLongs(values: Iterable[Long]): String = {
+    val sb = new java.lang.StringBuilder(values.size * 4 + 2)
+    sb.append('[')
+    var first = true
+    values.foreach { v => if (!first) sb.append(','); sb.append(v); first = false }
+    sb.append(']').toString
+  }
   def setObjectProp(inst: String, prop: String, target: String): Unit =
     emit(inst, prop, target, null, null)
   /** engine SetObjectTypeProperty / GEOM set_objects: array-valued object

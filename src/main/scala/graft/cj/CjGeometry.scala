@@ -311,10 +311,8 @@ private[cj] final class CjGeometry(m: CjModel) {
     val cls = m.getOrCreateClass("City.Surface", addPrefix = false, "BoundaryRepresentation")
     val face = m.createInstance(cls, m.nameOfInstance(group.key.semantic))
 
-    m.emit(face, "geom:vertices", null,
-      group.coordinates.map(m.fmtD).mkString("[", ",", "]"), V.XsdDoubleArray)
-    m.emit(face, "geom:indices", null,
-      group.indices.mkString("[", ",", "]"), V.XsdLongArray)
+    m.emit(face, "geom:vertices", null, m.lexDoubles(group.coordinates), V.XsdDoubleArray)
+    m.emit(face, "geom:indices", null, m.lexLongs(group.indices), V.XsdLongArray)
 
     val rdfMat = m.appearance.getRdfMaterial(group.key.materials, group.key.textures, group.key.semantic)
     if (rdfMat != null) m.setObjectProp(face, "geom:material", rdfMat)
@@ -330,10 +328,8 @@ private[cj] final class CjGeometry(m: CjModel) {
       texIdx = mutable.ArrayBuffer[Long]()
     }
     if (texIdx.exists(_ >= 0)) {
-      m.emit(face, "geom:textureCoordinates", null,
-        group.texCoordinates.map(m.fmtD).mkString("[", ",", "]"), V.XsdDoubleArray)
-      m.emit(face, "geom:textureIndices", null,
-        texIdx.mkString("[", ",", "]"), V.XsdLongArray)
+      m.emit(face, "geom:textureCoordinates", null, m.lexDoubles(group.texCoordinates), V.XsdDoubleArray)
+      m.emit(face, "geom:textureIndices", null, m.lexLongs(texIdx), V.XsdLongArray)
     }
     face
   }
