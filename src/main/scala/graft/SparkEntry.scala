@@ -246,8 +246,14 @@ object SparkEntry {
     }),
     "emb_dedup_cosine" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Dedup.embeddingPairs(t(dir, "embeddings"), threshold = 0.95)
-        .select(col("vec_a"), col("vec_b"))
+      // threshold sweep summary (the raw pair list is usually empty on
+      // non-duplicated corpora; the sweep always yields rows)
+      val pairs = Dedup.embeddingPairs(t(dir, "embeddings"), threshold = 0.0)
+      pairs.agg(
+        count(lit(1)).as("bucket_pairs"),
+        sum(when(col("cosine") >= 0.5, 1L).otherwise(0L)).as("ge_050"),
+        sum(when(col("cosine") >= 0.8, 1L).otherwise(0L)).as("ge_080"),
+        sum(when(col("cosine") >= 0.95, 1L).otherwise(0L)).as("ge_095"))
     }),
     "emb_label_knn_purity" -> ((s, dir) => {
       implicit val sp: SparkSession = s

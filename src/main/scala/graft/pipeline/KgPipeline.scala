@@ -109,6 +109,21 @@ object KgPipeline {
       pmod(xxhash64(col("pred"), coalesce(col("obj_iri"), lit("")), coalesce(col("obj_lit"), lit(""))),
         lit(saltFanout)))
 
+  /** Bucketed graph table: co-locates triples by subject so downstream
+    * subject-keyed self-joins (path queries, star expansion) run shuffle-free
+    * — the cluster-scale complement to [[saltedForWrite]] when the dominant
+    * read pattern is join-by-subject rather than balanced scan. (Iceberg is
+    * the target format per the north rule; this sandbox has no Iceberg jars,
+    * so the session-catalog bucketed parquet table is the stand-in with the
+    * same co-location contract.) */
+  def writeBucketedGraph(triples: Dataset[Triple], table: String, buckets: Int = 32): Unit =
+    triples.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, "subj")
+      .sortBy("subj")
+      .saveAsTable(table)
+
   /** Checkpoint-resumable stage materialization (SURVEY.md §2.7): each stage
     * writes parquet + a manifest carrying the stage fingerprint and
     * per-partition row counts (the lineage record). A later run with the

@@ -101,4 +101,23 @@ class KgPipelineSpec extends SparkTestBase {
       |<div>tail &#65;</div><footer>f</footer></body></html>""".stripMargin
     assert(TextExtract.extract(html) == "T & t\na <b> c\ntail A")
   }
+
+  test("bucketed graph table makes subject self-joins shuffle-free") {
+    val tr = KgPipeline.triples(spark, 200)
+    KgPipeline.writeBucketedGraph(tr, "graph_bucketed", buckets = 4)
+    val g = spark.table("graph_bucketed")
+    // force the non-broadcast path so the assertion proves bucket co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // star expansion: join mention edges back to page metadata by subject
+      val joined = g.filter("pred = 'web:mentions'").as("m")
+        .join(g.filter("pred = 'web:lang'").as("l"), "subj")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      // both sides read bucketed: no shuffle Exchange feeding the join
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
