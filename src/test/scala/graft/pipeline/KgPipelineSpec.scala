@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 import graft.extract.TextExtract
@@ -119,5 +120,34 @@ class KgPipelineSpec extends SparkTestBase {
         s"bucketed join must not shuffle:\n$plan")
       assert(joined.count() > 0)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("AQE splits skewed shuffle partitions in a hot-key relational join") {
+    val sps = spark; import sps.implicits._
+    // hot-key skew: 90% of the left side hits one key
+    val left = spark.range(100000)
+      .select((when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id"))).as("k"), col("id").as("v"))
+    val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      val joined = left.join(right, "k")
+      // execute THIS frame so its AdaptiveSparkPlanExec reaches the final plan
+      val n = joined.toLocalIterator().asScala.size
+      // 90k rows with k=0 match right k=0; k=id rows match only for id<1000
+      assert(n == 90000 + 100, s"count $n")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true") && finalPlan.contains("skewed"),
+        s"expected AQE skew handling in final plan:\n${finalPlan.take(3000)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
   }
 }
