@@ -146,6 +146,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(round(col("value") * 100)).cast("bigint").as("value_cents"))
     }),
+    "ev_asof_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // each purchase aligned to the user's most recent preceding view
+      val ev = t(dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val views = ev.filter(col("event_type") === "view")
+      graft.operators.AsofJoin.backward(purchases, views, "user_id", "ts", "ts", Seq("event_id"))
+        .select(col("event_id"), col("asof_event_id").as("view_event_id"))
+    }),
     "ev_sessions" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
@@ -339,6 +348,11 @@ object SparkEntry {
            COUNT(*) AS n_events,
            CAST(SUM(ROUND(value*100)) AS BIGINT) AS value_cents
          FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "ev_asof_join" ->
+      """SELECT p.event_id, v.event_id AS view_event_id
+         FROM (SELECT * FROM events WHERE event_type='purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
     "ev_sessions" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
            SELECT user_id,

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for each left row, the single latest right row
+  * with `rightTs <= leftTs` for the same key — the canonical event-alignment
+  * operator Spark lacks as a built-in.
+  *
+  * Composition (per the custom-operator preference order: compose built-ins
+  * before custom Catalyst work): tag and union both sides, ONE shuffle on
+  * (key), and a running `last(right_payload, ignoreNulls)` window carries
+  * each right row forward to the left rows that follow it in time. No range
+  * cross-product, no per-key collect — at 100 TB this is a single
+  * hash-partitioned sort per side, and skewed keys fall under the same AQE
+  * handling as any window.
+  *
+  * Tie semantics: a right row at exactly `leftTs` matches (<=); among right
+  * rows sharing a timestamp the greatest payload struct wins
+  * (deterministic).
+  */
+object AsofJoin {
+
+  /** @param rightPayload right columns to carry; emitted as `asof_<name>`
+    * @param toleranceSec if set, matches older than this are nulled out */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      toleranceSec: Option[Long] = None): DataFrame = {
+
+    val payloadCols = (rightTs +: rightPayload.filterNot(_ == rightTs)).distinct
+    val rpType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
+    val lrowType = left.select(struct(left.columns.map(col).toIndexedSeq: _*)).schema.head.dataType
+
+    val l2 = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(rpType).as("__rp"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__lrow"))
+    val r2 = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(payloadCols.map(col): _*).as("__rp"),
+      lit(null).cast(lrowType).as("__lrow"))
+
+    // right rows sort before left rows at equal timestamps so `<=` holds
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rp").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l2.unionByName(r2)
+      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val bounded = toleranceSec match {
+      case Some(tol) =>
+        carried.withColumn("__match",
+          when(col("__match").isNotNull &&
+            (unix_timestamp(col("__ts")) - unix_timestamp(col(s"__match.$rightTs"))) <= tol,
+            col("__match")))
+      case None => carried
+    }
+
+    val leftOut: Seq[Column] = left.columns.toIndexedSeq.map(c => col(s"__lrow.$c").as(c))
+    val rightOut: Seq[Column] = payloadCols.map(c => col(s"__match.$c").as(s"asof_$c"))
+    bounded.select(leftOut ++ rightOut: _*)
+  }
+}

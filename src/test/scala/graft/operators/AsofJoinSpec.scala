@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+
+class AsofJoinSpec extends SparkTestBase {
+
+  private def ts(s: Long) = new Timestamp(1704067200000L + s * 1000)
+
+  private def fixture() = {
+    val sps = spark; import sps.implicits._
+    val left = Seq(
+      (1L, ts(100), "L1"), (1L, ts(200), "L2"), (1L, ts(50), "L0"),
+      (2L, ts(100), "L3"),
+      (3L, ts(10), "L4")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts(90), "R1"), (1L, ts(100), "R2"), (1L, ts(150), "R3"),
+      (2L, ts(500), "R4")).toDF("k", "t", "rv")
+    (left, right)
+  }
+
+  test("backward as-of join picks the latest right row at or before each left ts") {
+    val (left, right) = fixture()
+    val out = AsofJoin.backward(left, right, "k", "t", "t", Seq("rv")).collect()
+      .map(r => r.getAs[String]("lv") -> r.getAs[String]("asof_rv")).toMap
+    assert(out("L0") == null) // no right <= t50 for k=1
+    assert(out("L1") == "R2") // t100: R2 at exactly t100 wins over R1 at t90
+    assert(out("L2") == "R3") // t200: latest is R3 at t150
+    assert(out("L3") == null) // k=2 right row is later (t500)
+    assert(out("L4") == null) // k=3 has no right rows
+  }
+
+  test("tolerance nulls out stale matches") {
+    val (left, right) = fixture()
+    val out = AsofJoin.backward(left, right, "k", "t", "t", Seq("rv"), toleranceSec = Some(20))
+      .collect().map(r => r.getAs[String]("lv") -> r.getAs[String]("asof_rv")).toMap
+    assert(out("L1") == "R2") // 0s old
+    assert(out("L2") == null) // R3 is 50s old > 20s tolerance
+  }
+
+  test("as-of join agrees with a brute-force computation on events data") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val purchases = ev.filter("event_type = 'purchase'")
+    val views = ev.filter("event_type = 'view'")
+    val out = AsofJoin.backward(purchases, views, "user_id", "ts", "ts", Seq("event_id"))
+      .select("event_id", "asof_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    // brute force locally (ts is TIMESTAMP_NTZ -> compare as epoch micros)
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vRows = rows(views)
+    val pRows = rows(purchases)
+    pRows.foreach { case (u, t, pid) =>
+      val best = vRows.filter(v => v._1 == u && v._2 <= t)
+        .sortBy(v => (v._2, v._3)).lastOption.map(_._3).getOrElse(-1L)
+      assert(out(pid) == best, s"purchase $pid")
+    }
+    assert(out.size == pRows.length)
+  }
+}
