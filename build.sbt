@@ -28,6 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local-mode Spark = one JVM: the heap must absorb the allocation rate of
   // all executor threads. 8g is GC-bound at 32 cores (measured 3.7x slower
-  // on the KG pipeline than 24g); the box has 125g.
+  // on the KG pipeline than 24g); the box has 125g. ParallelGC sustains the
+  // pipeline's allocation rate far better than G1 on long runs (20M pages:
+  // 94.6s G1/24g -> 20.3s ParallelGC/64g at 32 cores).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+) ++ {
+  val extra = sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+  // default to the throughput collector unless the caller picked a GC
+  (if (extra.exists(_.contains("GC"))) Seq.empty else Seq("-XX:+UseParallelGC")) ++ extra
+}
