@@ -150,4 +150,17 @@ class KgPipelineSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     }
   }
+
+  test("changed fingerprint forces stage recompute, matching manifests skip it") {
+    val dir = Files.createTempDirectory("kgfp").toString
+    import KgPipeline.runStage
+    val sps = spark; import sps.implicits._
+    var computes = 0
+    def stage(fp: String) = runStage(spark, "s", dir, fp) {
+      computes += 1; spark.range(5).map(_ * 2)
+    }
+    assert(stage("fpA").count() == 5 && computes == 1)
+    assert(stage("fpA").count() == 5 && computes == 1) // manifest hit
+    assert(stage("fpB").count() == 5 && computes == 2) // fingerprint change recomputes
+  }
 }
