@@ -211,6 +211,24 @@ object SparkEntry {
         })
         .toDF("doc_id", "n_tokens", "stopword_hits", "score_milli")
     }),
+    "doc_split_md5" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // content-addressed train/val/test assignment, DuckDB-replicable:
+      // first md5 hex nibble -> 16 stable buckets -> 12/2/2 split
+      t(dir, "documents").select(
+        col("doc_id"),
+        when(substring(md5(col("text")), 1, 1).isin("0", "1"), "val")
+          .when(substring(md5(col("text")), 1, 1).isin("2", "3"), "test")
+          .otherwise("train").as("split"))
+    }),
+    "doc_split_hash64" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // same op through the native codegen expression (frozen engine hash)
+      graft.functions.Hash64Expr.register(s)
+      t(dir, "documents").select(
+        col("doc_id"),
+        pmod(graft.functions.Hash64Expr.graft_hash64(col("text")), lit(10)).as("bucket"))
+    }),
     "doc_langid" -> ((s, dir) => {
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -363,6 +381,12 @@ object SparkEntry {
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
          FROM documents GROUP BY md5(text)""",
+    "doc_split_md5" ->
+      """SELECT doc_id,
+           CASE WHEN substr(md5(text),1,1) IN ('0','1') THEN 'val'
+                WHEN substr(md5(text),1,1) IN ('2','3') THEN 'test'
+                ELSE 'train' END AS split
+         FROM documents""",
     "doc_dedup_keep" ->
       """SELECT doc_id, md5(text) AS text_md5,
            doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
