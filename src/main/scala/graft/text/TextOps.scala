@@ -103,6 +103,9 @@ object TextOps {
     val grams = new Array[Long](n - k + 1)
     var i = 0
     while (i + k <= n) { grams(i) = hash64(text.substring(i, i + k)); i += 1 }
+    // too short for a full window: fingerprint = the minimum gram (otherwise
+    // every short document would collapse to an empty fingerprint)
+    if (grams.length < window) return Vector(grams.min)
     val out = Vector.newBuilder[Long]
     var lastPicked = -1
     i = 0
