@@ -211,6 +211,22 @@ object SparkEntry {
         })
         .toDF("doc_id", "n_tokens", "stopword_hits", "score_milli")
     }),
+    "doc_curation" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // canonical curation flow: exact-dedup keep + length + punct-ratio
+      // gates, with a reject reason per document
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      t(dir, "documents")
+        .withColumn("canonical", col("doc_id") === min("doc_id").over(w))
+        .withColumn("n_punct",
+          length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .select(
+          col("doc_id"),
+          when(!col("canonical"), "duplicate")
+            .when(length(col("text")) < 100, "too_short")
+            .when(col("n_punct") * 10 > length(col("text")), "punct_heavy")
+            .otherwise("keep").as("verdict"))
+    }),
     "doc_split_md5" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // content-addressed train/val/test assignment, DuckDB-replicable:
@@ -381,6 +397,13 @@ object SparkEntry {
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
          FROM documents GROUP BY md5(text)""",
+    "doc_curation" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) THEN 'duplicate'
+                WHEN LENGTH(text) < 100 THEN 'too_short'
+                WHEN (LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 10 > LENGTH(text) THEN 'punct_heavy'
+                ELSE 'keep' END AS verdict
+         FROM documents""",
     "doc_split_md5" ->
       """SELECT doc_id,
            CASE WHEN substr(md5(text),1,1) IN ('0','1') THEN 'val'
