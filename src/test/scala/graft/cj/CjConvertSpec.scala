@@ -262,4 +262,38 @@ class CjConvertSpec extends AnyFunSuite {
     assert(lits(r, "geom:textureIndices") == Vector("[0,1,2,-1]"))
     assert(lits(r, "geom:textureCoordinates") == Vector("[1.0,1.0,1.0,0.0,0.0,0.0]"))
   }
+
+  // -- S3: settings flags ------------------------------------------------------
+
+  test("UseTextures=false suppresses UV emission but keeps texture group keys") {
+    val json = """{"type":"CityJSON","version":"1.1",
+      "vertices":[[0,0,0],[1,0,0],[1,1,0]],
+      "appearance":{"textures":[{"type":"JPG","image":"t.jpg"}],
+        "vertices-texture":[[0.0,0.0],[1.0,0.0],[1.0,1.0]]},
+      "CityObjects":{"a":{"type":"Building","geometry":[
+        {"type":"MultiSurface","boundaries":[[[0,1,2]]],
+         "texture":{"th":{"values":[[[0,0,1,2]]]}}}]}}}"""
+    val off = CjConvert.convert("t:d", json, CjSettings.default.copy(useTextures = false))
+    assert(!off.triples.exists(_.pred == "geom:textureIndices"))
+    assert(!off.triples.exists(t => t.pred == "rdf:type" && t.obj_iri == "Texture"))
+    val on = CjConvert.convert("t:d", json)
+    assert(on.triples.exists(_.pred == "geom:textureIndices"))
+    assert(on.triples.exists(t => t.pred == "geom:type" && t.obj_lit == "1")) // JPG -> 1
+  }
+
+  test("UseMaterials=false falls back to semantic colors") {
+    val json = """{"type":"CityJSON","version":"1.1",
+      "vertices":[[0,0,0],[1,0,0],[1,1,0]],
+      "appearance":{"materials":[{"name":"m0","diffuseColor":[0.5,0.5,0.5]}]},
+      "CityObjects":{"a":{"type":"Building","geometry":[
+        {"type":"MultiSurface","boundaries":[[[0,1,2]]],
+         "material":{"th":{"value":0}},
+         "semantics":{"surfaces":[{"type":"RoofSurface"}],"values":[0]}}]}}}"""
+    val off = CjConvert.convert("t:d", json, CjSettings.default.copy(useMaterials = false))
+    // no named material color; the config RoofSurface color (1,0,0) with W=1 instead
+    assert(!off.triples.exists(t => t.pred == "rdf:name" && t.obj_lit == "m0"))
+    assert(off.triples.exists(t => t.pred == "geom:W" && t.obj_lit == "1.0"))
+    val on = CjConvert.convert("t:d", json)
+    assert(on.triples.exists(t => t.pred == "rdf:name" && t.obj_lit == "m0"))
+  }
 }
