@@ -163,4 +163,13 @@ class KgPipelineSpec extends SparkTestBase {
     assert(stage("fpA").count() == 5 && computes == 1) // manifest hit
     assert(stage("fpB").count() == 5 && computes == 2) // fingerprint change recomputes
   }
+
+  test("extract/mention/link stages are shuffle-free (narrow plan lock)") {
+    val links = KgPipeline.links(KgPipeline.extracted(PagesSynth.pages(spark, 100)), PagesSynth.aliasMap)
+    val plan = links.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow stages must not shuffle:\n$plan")
+    val triples = KgPipeline.triples(spark, 100)
+    val tplan = triples.queryExecution.executedPlan.toString
+    assert(!tplan.contains("Exchange"), s"triple emission must not shuffle:\n$tplan")
+  }
 }
