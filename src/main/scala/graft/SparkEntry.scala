@@ -129,6 +129,26 @@ object SparkEntry {
       val late = l.filter(col("l_shipdate") >= lit("1996-01-01")).select("l_orderkey").distinct()
       early.except(late).withColumnRenamed("l_orderkey", "early_only_orderkey")
     }),
+    "q_cube" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+    }),
+    "q_top_orders" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // global sort + limit: plans as TakeOrderedAndProject (no full sort)
+      t(dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("bigint").as("totalprice_cents"))
+    }),
     "q_rollup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       t(dir, "lineitem")
@@ -161,10 +181,22 @@ object SparkEntry {
       t(dir, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
+          // exact interval compare — ts carries microseconds, so truncated
+          // unix_timestamp arithmetic would be boundary-unsafe vs the oracle
           when(col("prev_ts").isNull ||
-            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L).otherwise(0L))
+            col("ts") > col("prev_ts") + expr("INTERVAL 1800 SECONDS"), 1L).otherwise(0L))
         .groupBy("user_id").agg(sum(col("new_session")).as("n_sessions"),
           count(lit(1)).as("n_events"))
+    }),
+    "ev_range_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // views within the hour before each purchase, banded range join
+      val ev = t(dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val views = ev.filter(col("event_type") === "view")
+      graft.operators.RangeJoin.band(purchases, views, "user_id", "ts", "ts",
+          beforeSec = 3600, afterSec = 0, rightPayload = Seq("event_id"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_views_1h"))
     }),
 
     // ============ training-data ops: documents ==============================
@@ -287,6 +319,12 @@ object SparkEntry {
       Ann.lshTopK(emb, Ann.headQueries(emb, 20), k = 5)
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
+    "emb_knn_ivf" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Ann.ivfTopK(emb, Ann.headQueries(emb, 20), k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+    }),
     "emb_dedup_cosine" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // threshold sweep summary (the raw pair list is usually empty on
@@ -390,10 +428,25 @@ object SparkEntry {
     "ev_sessions" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
            SELECT user_id,
-             CASE WHEN prev_ts IS NULL OR epoch(ts)-epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+             CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_session
            FROM (SELECT user_id, ts,
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
                  FROM events) a) b GROUP BY user_id""",
+    "ev_range_join" ->
+      """SELECT p.event_id, COUNT(*) AS n_views_1h
+         FROM (SELECT user_id, ts, event_id FROM events WHERE event_type='purchase') p
+         JOIN (SELECT user_id, ts FROM events WHERE event_type='view') w
+           ON p.user_id = w.user_id
+          AND w.ts >= p.ts - INTERVAL 3600 SECOND AND w.ts <= p.ts
+         GROUP BY p.event_id""",
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+              COALESCE(l_linestatus,'ALL') AS linestatus, COUNT(*) AS n_rows,
+              CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q_top_orders" ->
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_cents
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
          FROM documents GROUP BY md5(text)""",

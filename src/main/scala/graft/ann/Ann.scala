@@ -79,6 +79,94 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) top-k: the cluster-scale ANN path. A small, seeded
+    * k-means (Lloyd) trains `nlist` centroids driver-side on a bounded
+    * deterministic sample; each vector is assigned to its nearest centroid in
+    * ONE narrow pass that also scores it against exactly the queries probing
+    * that centroid's list (queries probe their `nProbe` nearest centroids).
+    * Per-query work drops from O(N) to ~O(N * nProbe / nlist); the only
+    * shuffle is the tiny partition-local-top-k merge, same as [[bruteTopK]].
+    * At 100 TB the centroid assignment would be persisted as a partition
+    * column so probes prune file groups — here it stays fused in the scan. */
+  def ivfTopK(emb: DataFrame, queries: Array[(Long, Array[Float])], k: Int,
+      nlist: Int = 16, nProbe: Int = 4, sampleN: Int = 2048, iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(emb, nlist, sampleN, iters)
+
+    // invert: centroid idx -> queries probing it
+    val probes: Map[Int, Vector[(Long, Array[Float])]] = queries.toVector
+      .flatMap { case (qid, qv) =>
+        cents.indices.map(ci => (TextOps.cosine(qv, cents(ci)), ci))
+          .sortBy { case (c, ci) => (-c, ci) }
+          .take(nProbe).map { case (_, ci) => (ci, (qid, qv)) }
+      }
+      .groupBy(_._1).map { case (ci, v) => (ci, v.map(_._2)) }
+
+    val bc = spark.sparkContext.broadcast(cents)
+    val bp = spark.sparkContext.broadcast(probes)
+    val partials = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val pm = bp.value
+        it.flatMap { case (id, v) =>
+          var best = 0; var bestC = Double.MinValue
+          var ci = 0
+          while (ci < cs.length) {
+            val c = TextOps.cosine(v, cs(ci))
+            if (c > bestC) { bestC = c; best = ci }
+            ci += 1
+          }
+          pm.getOrElse(best, Vector.empty).collect {
+            case (qid, qv) if qid != id => Scored(qid, id, TextOps.cosine(qv, v))
+          }
+        }
+      }
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    partials.toDF("query_id", "vec_id", "cosine")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Seeded Lloyd's k-means over a deterministic bounded sample (collected to
+    * the driver — the sample is O(sampleN * dim), never the table). */
+  def ivfCentroids(emb: DataFrame, nlist: Int, sampleN: Int, iters: Int): Array[Array[Float]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = emb
+      .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .sort("vec_id").limit(sampleN).collect().map(_._2)
+    require(sample.nonEmpty, "empty embedding table")
+    val dim = sample.head.length
+    // evenly-spaced deterministic init (sample is vec_id-ordered)
+    var cents = Array.tabulate(math.min(nlist, sample.length)) { i =>
+      sample((i.toLong * sample.length / math.min(nlist, sample.length)).toInt).clone()
+    }
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestC = Double.MinValue
+        var ci = 0
+        while (ci < cents.length) {
+          val c = TextOps.cosine(v, cents(ci))
+          if (c > bestC) { bestC = c; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      cents = cents.indices.toArray.map { ci =>
+        if (counts(ci) == 0) cents(ci)
+        else Array.tabulate(dim)(d => (sums(ci)(d) / counts(ci)).toFloat)
+      }
+      iter += 1
+    }
+    cents
+  }
+
   /** Convenience: the first q vectors of the table as the query set. */
   def headQueries(emb: DataFrame, q: Int): Array[(Long, Array[Float])] =
     emb.select(col("vec_id").cast("long"), col("embedding"))

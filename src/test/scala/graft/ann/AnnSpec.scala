@@ -62,6 +62,25 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF top-k recall vs brute force is high; purity holds") {
+    val emb = clustered()
+    val queries = Ann.headQueries(emb, 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = pairs(Ann.bruteTopK(emb, queries, 5))
+    val ivf = pairs(Ann.ivfTopK(emb, queries, 5, nlist = 16, nProbe = 4))
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("IVF is deterministic and partition-invariant") {
+    val emb = clustered()
+    val queries = Ann.headQueries(emb, 5)
+    def res(parts: Int) = Ann.ivfTopK(emb.repartition(parts), queries, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Int]("rank"))).toSet
+    assert(res(1) == res(7))
+  }
+
   test("results are partition-invariant") {
     val emb = clustered()
     val queries = Ann.headQueries(emb, 5)
