@@ -27,14 +27,23 @@ object Linker {
     }
 
   def linkRelational(mentions: Dataset[Mention], aliases: DataFrame): DataFrame = {
-    val joined = mentions.join(broadcast(aliases), "alias_norm")
-    joined
-      .groupBy("url", "span_start", "span_end", "surface")
+    // Score is mention-independent (prior), so top-1 per mention == top-1 per
+    // alias: reduce the SMALL side first (O(|aliases|)) instead of a per-
+    // mention aggregation — min_by over struct keys plans as SortAggregate,
+    // which would sort-shuffle the whole mention stream. After the reduction
+    // the link is a pure broadcast hash join: zero shuffles on the big side.
+    // (With context-dependent scores the per-mention agg returns; keep it
+    // two-phase partial/final and off the struct-key path in that case.)
+    val best = aliases
+      .groupBy("alias_norm")
       .agg(min_by(
         struct(col("entity_iri"), col("prior")),
         struct((col("prior") * -1).as("negPrior"), col("entity_iri"))).as("best"))
+      .select(col("alias_norm"),
+        col("best.entity_iri").as("entity_iri"), col("best.prior").as("score"))
+    mentions.join(broadcast(best), "alias_norm")
       .select(
         col("url"), col("span_start"), col("span_end"), col("surface"),
-        col("best.entity_iri").as("entity_iri"), col("best.prior").as("score"))
+        col("entity_iri"), col("score"))
   }
 }
