@@ -20,32 +20,69 @@ package graft.extract
   *   - runs of spaces/tabs collapse to one space; spaces around newlines
   *     are trimmed; leading/trailing whitespace trimmed; at most one
   *     consecutive newline survives
+  *
+  * Implementation notes (perf only — output is locked by the frozen-hash
+  * spec): the whitespace normalization is fused into the scan as a
+  * pending-space/newline state machine, so no intermediate full-page string
+  * is built; tag names are classified by in-place ASCII case-fold region
+  * compare (also removes the JVM-default-locale hazard of toLowerCase),
+  * never allocated. One output builder per page is the only garbage.
   */
 object TextExtract {
   val version = "1"
 
-  private val dropWithContent = Set("script", "style", "nav", "header", "footer", "aside")
-  private val blockElems = Set("p", "div", "h1", "h2", "h3", "h4", "h5", "h6",
+  private val dropNames = Array("script", "style", "nav", "header", "footer", "aside")
+  private val blockNames = Array("p", "div", "h1", "h2", "h3", "h4", "h5", "h6",
     "li", "br", "tr", "section", "article", "title")
 
   def extract(html: Array[Byte]): String = extract(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+
+  /** region [s,e) equals `lit` under ASCII A-Z case fold (tag names) */
+  private def eqFold(html: String, s: Int, e: Int, lit: String): Boolean = {
+    if (e - s != lit.length) return false
+    var k = 0
+    while (k < lit.length) {
+      val c = html.charAt(s + k)
+      val f = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if (f != lit.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** region [s,e) equals `lit` exactly (entity names are case-sensitive) */
+  private def eqAt(html: String, s: Int, e: Int, lit: String): Boolean = {
+    if (e - s != lit.length) return false
+    var k = 0
+    while (k < lit.length) {
+      if (html.charAt(s + k) != lit.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
 
   def extract(html: String): String = {
     val out = new java.lang.StringBuilder(html.length / 2)
     val n = html.length
     var i = 0
     var dropUntil: String = null // inside a drop-with-content element
+    // fused whitespace-normalization state
+    var pendingSpace = false
+    var pendingNewline = false
+    var started = false
 
-    def tagNameAt(start: Int): (String, Boolean, Int) = {
-      // start points just after '<'; returns (lowercased name, isClose, index after '>')
-      var j = start
-      var close = false
-      if (j < n && html.charAt(j) == '/') { close = true; j += 1 }
-      val nameStart = j
-      while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
-      val name = html.substring(nameStart, j).toLowerCase
-      while (j < n && html.charAt(j) != '>') j += 1
-      (name, close, math.min(j + 1, n))
+    def emit(c: Char): Unit = {
+      if (c == '\n' || c == '\r') pendingNewline = true
+      else if (c == ' ') pendingSpace = true
+      else {
+        if (started) {
+          if (pendingNewline) out.append('\n')
+          else if (pendingSpace) out.append(' ')
+        }
+        pendingSpace = false; pendingNewline = false
+        started = true
+        out.append(c)
+      }
     }
 
     while (i < n) {
@@ -55,16 +92,40 @@ object TextExtract {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
         } else {
-          val (name, close, after) = tagNameAt(i + 1)
+          // parse tag in place: name span [nameStart, nameEnd), close flag
+          var j = i + 1
+          var close = false
+          if (j < n && html.charAt(j) == '/') { close = true; j += 1 }
+          val nameStart = j
+          while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+          val nameEnd = j
+          while (j < n && html.charAt(j) != '>') j += 1
+          val after = math.min(j + 1, n)
+
           if (dropUntil != null) {
-            if (close && name == dropUntil) dropUntil = null
-            i = after
-          } else if (!close && dropWithContent.contains(name)) {
-            dropUntil = name
+            if (close && eqFold(html, nameStart, nameEnd, dropUntil)) dropUntil = null
             i = after
           } else {
-            if (close && blockElems.contains(name)) out.append('\n')
-            if (!close && name == "br") out.append('\n')
+            var dropIdx = -1
+            if (!close) {
+              var d = 0
+              while (d < dropNames.length && dropIdx < 0) {
+                if (eqFold(html, nameStart, nameEnd, dropNames(d))) dropIdx = d
+                d += 1
+              }
+            }
+            if (dropIdx >= 0) {
+              dropUntil = dropNames(dropIdx)
+            } else {
+              var isBlock = false
+              var b = 0
+              while (b < blockNames.length && !isBlock) {
+                if (eqFold(html, nameStart, nameEnd, blockNames(b))) isBlock = true
+                b += 1
+              }
+              if (close && isBlock) emit('\n')
+              if (!close && eqFold(html, nameStart, nameEnd, "br")) emit('\n')
+            }
             i = after
           }
         }
@@ -73,47 +134,36 @@ object TextExtract {
       } else if (c == '&') {
         val semi = html.indexOf(';', i + 1)
         if (semi > 0 && semi - i <= 8) {
-          val ent = html.substring(i + 1, semi)
-          val decoded = ent match {
-            case "amp" => "&"
-            case "lt" => "<"
-            case "gt" => ">"
-            case "quot" => "\""
-            case "nbsp" => " "
-            case e if e.startsWith("#") && e.drop(1).forall(_.isDigit) && e.length > 1 =>
-              e.drop(1).toInt.toChar.toString
-            case _ => null
+          val s = i + 1
+          var decoded = -1 // char code, or -1 = not an entity
+          if (eqAt(html, s, semi, "amp")) decoded = '&'
+          else if (eqAt(html, s, semi, "lt")) decoded = '<'
+          else if (eqAt(html, s, semi, "gt")) decoded = '>'
+          else if (eqAt(html, s, semi, "quot")) decoded = '"'
+          else if (eqAt(html, s, semi, "nbsp")) decoded = ' '
+          else if (semi - s > 1 && html.charAt(s) == '#') {
+            // numeric entity; Unicode digits accepted (Character.digit),
+            // value truncated to a char — matches toInt.toChar semantics
+            var v = 0
+            var k = s + 1
+            var ok = true
+            while (k < semi && ok) {
+              val ch = html.charAt(k)
+              if (!Character.isDigit(ch)) ok = false
+              else v = v * 10 + Character.digit(ch, 10)
+              k += 1
+            }
+            if (ok) decoded = v.toChar
           }
-          if (decoded != null) { out.append(decoded); i = semi + 1 }
-          else { out.append(c); i += 1 }
-        } else { out.append(c); i += 1 }
+          if (decoded >= 0) { emit(decoded.toChar); i = semi + 1 }
+          else { emit(c); i += 1 }
+        } else { emit(c); i += 1 }
       } else {
-        out.append(if (c == '\t') ' ' else c)
+        emit(if (c == '\t') ' ' else c)
         i += 1
       }
     }
 
-    normalizeWhitespace(out.toString)
-  }
-
-  /** collapse space runs, trim around newlines, max one consecutive \n */
-  private def normalizeWhitespace(s: String): String = {
-    val out = new java.lang.StringBuilder(s.length)
-    var pendingSpace = false
-    var pendingNewline = false
-    var started = false
-    s.foreach {
-      case '\n' | '\r' => pendingNewline = true
-      case ' ' => pendingSpace = true
-      case ch =>
-        if (started) {
-          if (pendingNewline) out.append('\n')
-          else if (pendingSpace) out.append(' ')
-        }
-        pendingSpace = false; pendingNewline = false
-        started = true
-        out.append(ch)
-    }
     out.toString
   }
 }
