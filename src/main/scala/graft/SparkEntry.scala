@@ -225,6 +225,15 @@ object SparkEntry {
         when(length(trim(col("text"))) === 0, 0)
           .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_ws_tokens"))
     }),
+    "doc_token_count_bpe" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // BPE-style pre-tokenizer count; fully declarative (codegen regex) —
+      // the frozen scanner equivalent lives in Tokenize.bpeTokenCount
+      t(dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit(graft.extract.Tokenize.BpePattern), lit(0))).as("n_bpe_tokens"))
+    }),
     "doc_quality_sql" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       t(dir, "documents").select(
@@ -369,6 +378,12 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 500))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
+    }),
+    "mm_resize" -> ((s, dir) => {
+      // resize plumbing: re-decode after resize must yield the target dims
+      Multimodal.decodeMeta(Multimodal.resize(Multimodal.syntheticMedia(s, 500), 32, 32))
+        .groupBy("kind").agg(count(lit(1)).as("n_media"),
+          sum(when(col("width") === 32 && col("height") === 32, 1L).otherwise(0L)).as("n_at_target"))
     })
   )
 
@@ -473,6 +488,10 @@ object SparkEntry {
     "doc_token_count" ->
       """SELECT doc_id,
            CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens
+         FROM documents""",
+    "doc_token_count_bpe" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\r\f ]+|[\t\n\r\f ]+')) AS n_bpe_tokens
          FROM documents""",
     "doc_quality_sql" ->
       """SELECT doc_id, LENGTH(text) AS n_chars,

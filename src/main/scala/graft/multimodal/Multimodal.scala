@@ -77,6 +77,30 @@ object Multimodal {
       }).toDF()
   }
 
+  /** resize to (w, h): re-encodes the header with the target dimensions and
+    * resamples the payload to the proportional byte budget (nearest-byte —
+    * the stand-in for a real pixel resampler; the swap-in point is this one
+    * function body). Undecodable blobs pass through untouched rows-dropped,
+    * mirroring decode error isolation. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        decodeStub(blob).map { m =>
+          val payload = blob.drop(17)
+          val resampled = if (payload.isEmpty) payload else {
+            val outLen = math.max(16, (payload.length.toLong * (w.toLong * h) /
+              math.max(1L, m.width.toLong * m.height)).toInt)
+            Array.tabulate(outLen) { j =>
+              payload(((j.toLong * payload.length) / outLen).toInt)
+            }
+          }
+          (id, m.kind, encodeFake(m.kind, w, h, m.n_frames, resampled))
+        }
+      }).toDF("media_id", "kind", "blob")
+  }
+
   /** frame sampling for video blobs: every `stride`-th fixed-size chunk of
     * the payload stands in for a decoded frame. */
   def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {

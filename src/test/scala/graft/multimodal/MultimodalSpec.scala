@@ -39,4 +39,15 @@ class MultimodalSpec extends SparkTestBase {
       assert(math.abs(v.sum - 1.0) < 1e-3)
     }
   }
+
+  test("resize re-encodes every decodable blob at the target dimensions") {
+    val resized = Multimodal.resize(Multimodal.syntheticMedia(spark, 100), 32, 32)
+    val meta = Multimodal.decodeMeta(resized).collect()
+    assert(meta.length == 100)
+    assert(meta.forall(r => r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32))
+    // payload budget scales with the pixel ratio; frames preserved
+    val orig = Multimodal.decodeMeta(Multimodal.syntheticMedia(spark, 100)).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("n_frames")).toMap
+    assert(meta.forall(r => r.getAs[Int]("n_frames") == orig(r.getAs[Long]("media_id"))))
+  }
 }
