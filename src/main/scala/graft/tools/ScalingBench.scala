@@ -23,6 +23,7 @@ object ScalingBench {
     val cores = if (args.nonEmpty) args(0).toInt else 8
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val mult = if (args.length > 2) args(2).toInt else 10
+    val nReps = if (args.length > 3) args(3).toInt else 2
     val pages = PagesSynth.pageCount(sfDir) * mult
 
     val spark = SparkSession.builder()
@@ -38,8 +39,11 @@ object ScalingBench {
     // enough that C2 compilation of the whole chain completes before timing
     KgPipeline.triples(spark, 50000).count()
 
-    // two timed reps; report the best (JIT/GC noise is one-sided)
-    val reps = (1 to 2).map { _ =>
+    // timed reps; report the best (JIT/GC noise is one-sided). The first rep
+    // pays one-time heap commit; a GC fence between reps keeps collections
+    // of the previous rep's garbage out of the next timing.
+    val reps = (1 to nReps).map { _ =>
+      System.gc(); Thread.sleep(1000)
       val t0 = System.nanoTime()
       val triples = KgPipeline.triples(spark, pages).count()
       (triples, (System.nanoTime() - t0) / 1e9)
