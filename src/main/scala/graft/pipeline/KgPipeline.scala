@@ -145,14 +145,16 @@ object KgPipeline {
     val ds = compute
     ds.write.mode(SaveMode.Overwrite).parquet(stagePath)
     val back = spark.read.parquet(stagePath)
-    // per-partition lineage: rows per parquet file of this stage
-    val perFile = back
+    // per-partition lineage: rows per parquet file of this stage (single
+    // scan; the stage total is the sum of the per-file counts)
+    val perFileRows = back
       .select(input_file_name().as("file"))
       .groupBy("file").count()
       .collect()
+    val perFile = perFileRows
       .map(r => s"""{"file":"${r.getString(0).split('/').last}","rows":${r.getLong(1)}}""")
       .mkString("[", ",", "]")
-    val total = back.count()
+    val total = perFileRows.map(_.getLong(1)).sum
     val manifest =
       s"""{"stage":"$name","fingerprint":"$fingerprint","rows":$total,"partitions":$perFile}"""
     writeString(fs, manifestPath, manifest)
