@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injection point for the engine's native functions —
+  * the deployment-grade registration path: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` on spark-submit and
+  * every session (including thriftserver/connect sessions that never run
+  * driver code) gets `graft_hash64` as a built-in, no per-session
+  * `register()` call needed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash64"),
+      new ExpressionInfo(classOf[Hash64Expr].getName, "graft_hash64"),
+      (exprs: Seq[Expression]) => Hash64Expr(exprs.head)))
+  }
+}
