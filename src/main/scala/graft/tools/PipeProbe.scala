@@ -42,3 +42,22 @@ object PipeProbe {
     }
   }
 }
+// reproduce: pipeline throughput at 500k pages in a fresh session
+object PipeProbe2 {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.pipeline.KgPipeline.triples(spark, 50000).count()
+    (1 to 3).foreach { rep =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val c = graft.pipeline.KgPipeline.triples(spark, 500000).count()
+      val sec = (System.nanoTime()-t0)/1e9
+      println(f"PIPE500K rep$rep triples=$c wall=$sec%.2f tps=${(c/sec).toLong}")
+    }
+    spark.stop()
+  }
+}
