@@ -304,6 +304,28 @@ object SparkEntry {
         .mapPartitions(_.map { case (id, txt) => (id, TextOps.fingerprint64(txt)) })
         .toDF("doc_id", "fingerprint64")
     }),
+    "doc_ngram_jaccard" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // word-bigram Jaccard over a bounded head sample, fully relational
+      // (shingle explode + self-equi-join on shingle — never a cross
+      // product); the corpus-scale path is Dedup.minhashPairs. The
+      // threshold test is integer arithmetic: engine-exact vs the oracle.
+      val docs = t(dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+        .filter(col("n_inter") * 100 >= col("n_union") * 8)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+    }),
     "doc_minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.minhashPairs(t(dir, "documents"), threshold = 0.3)
@@ -333,6 +355,23 @@ object SparkEntry {
       val emb = t(dir, "embeddings")
       Ann.ivfTopK(emb, Ann.headQueries(emb, 20), k = 5)
         .select(col("query_id"), col("vec_id"), col("rank"))
+    }),
+    "emb_pairs_cosine" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // brute cosine pairs over a bounded head sample, declarative: the dot
+      // product and norms stay inside codegen via zip_with/aggregate (no
+      // UDF, no mapPartitions). Threshold 0.357 sits in a 3e-3-wide gap of
+      // the sf0.01 cosine distribution, so engine float-accumulation
+      // differences cannot flip a pair. Scale path: Dedup.embeddingPairs.
+      val e = t(dir, "embeddings").filter(col("vec_id") < 120)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"))
+        .withColumn("na2", expr("aggregate(ea, 0D, (acc, x) -> acc + cast(x as double) * x)"))
+        .withColumn("nb2", expr("aggregate(eb, 0D, (acc, x) -> acc + cast(x as double) * x)"))
+        .filter(col("dot") / sqrt(col("na2") * col("nb2")) >= 0.357)
+        .select(col("vec_a"), col("vec_b"))
     }),
     "emb_dedup_cosine" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -498,6 +537,21 @@ object SparkEntry {
            LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
            LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
          FROM documents""",
+    "doc_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents WHERE doc_id < 100),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh
+               FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t),
+         s AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+               FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT p.doc_a, p.doc_b, p.n_inter, sa.n + sb.n - p.n_inter AS n_union
+         FROM p JOIN s sa ON sa.doc_id = p.doc_a JOIN s sb ON sb.doc_id = p.doc_b
+         WHERE p.n_inter * 100 >= (sa.n + sb.n - p.n_inter) * 8""",
+    "emb_pairs_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 120 AND b.vec_id < 120
+           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.357""",
     "emb_knn_brute" ->
       """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings ORDER BY vec_id LIMIT 20)
          SELECT qid AS query_id, vec_id, rank FROM (
