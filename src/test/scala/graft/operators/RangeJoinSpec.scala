@@ -52,6 +52,30 @@ class RangeJoinSpec extends SparkTestBase {
     assert(pairs == 0)
   }
 
+  test("randomized windows agree with brute force") {
+    val (l, r) = sides()
+    val lr = l.collect().map(x => (x.getLong(0), x.getLong(1), x.getTimestamp(2)))
+    val rr = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getTimestamp(2)))
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    (0 until 5).foreach { trial =>
+      val rng = Rng.at(777, trial)
+      val before = rng.nextInt(3) match {
+        case 0 => 0L; case 1 => 1L + rng.nextInt(900); case _ => 1000L + rng.nextInt(5000)
+      }
+      val after = if (before == 0) 1L + rng.nextInt(900) else rng.nextInt(900).toLong
+      val got = RangeJoin.band(l, r, "user_id", "ts", "ts", before, after, Seq("event_id"))
+        .select(col("event_id"), col("range_event_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = (for {
+        (lid, lk, lts) <- lr; (rid, rk, rts) <- rr
+        if lk == rk
+        d = us(lts) - us(rts)
+        if d >= -after * 1000000 && d <= before * 1000000
+      } yield (lid, rid)).toSet
+      assert(got == want, s"trial $trial before=$before after=$after")
+    }
+  }
+
   test("plan is an equi hash join, not a cross product with a filter") {
     val (l, r) = sides()
     val df = RangeJoin.band(l, r, "user_id", "ts", "ts", 600, 120, Seq("event_id"))

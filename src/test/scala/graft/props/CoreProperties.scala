@@ -32,6 +32,14 @@ object CoreProperties extends Properties("graft.core") {
       !out.contains("<") && !out.contains("x()")
     }
 
+  property("bpe scanner equals the bpe regex on arbitrary strings") =
+    forAll { (s: String) =>
+      val m = java.util.regex.Pattern.compile(Tokenize.BpePattern).matcher(s)
+      var c = 0
+      while (m.find()) c += 1
+      Tokenize.bpeTokenCount(s) == c
+    }
+
   property("jaccardL is symmetric and bounded") =
     forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L))) { (a, b) =>
       val (sa, sb) = (a.toSet, b.toSet)
