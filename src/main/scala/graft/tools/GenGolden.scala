@@ -24,6 +24,16 @@ object GenGolden {
       case c => c.toString
     }
 
+  /** category-deduped log view (the CLI contract, Main.cpp:63-65):
+    * count + first-seen representative per category, deterministic order
+    * (count desc, then category) so the golden lock is stable. */
+  def logTsv(logs: Vector[graft.model.LogRow]): String = {
+    val logLines = logs.groupBy(_.category).toVector
+      .sortBy { case (cat, rows) => (-rows.size, cat) }
+      .map { case (_, rows) => s"${rows.size}\t[${rows.head.level}] ${rows.head.msg} (${rows.head.path})" }
+    logLines.mkString("", "\n", "\n")
+  }
+
   def tripleJson(t: Triple): String = {
     val sb = new StringBuilder(96)
     sb.append("{\"subj\":\"").append(esc(t.subj))
@@ -57,10 +67,7 @@ object GenGolden {
       val nErr = res.logs.count(_.level == "Error")
       summary.append(s"$stem\t${res.triples.size}\t${res.cityObjectCount}\t${res.logs.size}\t$nErr\n")
       println(f"$stem%-40s triples=${res.triples.size}%8d objects=${res.cityObjectCount}%6d logs=${res.logs.size}%4d errors=$nErr%3d  ${secs}%6.2fs")
-      // category-deduped log view (the CLI contract, Main.cpp:63-65)
-      val logLines = res.logs.groupBy(_.category).toVector.sortBy(-_._2.size)
-        .map { case (_, rows) => s"${rows.size}\t[${rows.head.level}] ${rows.head.msg} (${rows.head.path})" }
-      Files.writeString(outDir.resolve(s"$stem.logs.tsv"), logLines.mkString("", "\n", "\n"))
+      Files.writeString(outDir.resolve(s"$stem.logs.tsv"), logTsv(res.logs))
     }
     Files.writeString(outDir.resolve("SUMMARY.tsv"), summary.toString)
   }

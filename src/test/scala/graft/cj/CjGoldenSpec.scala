@@ -44,6 +44,15 @@ class CjGoldenSpec extends AnyFunSuite {
     }
   }
 
+  fixtures.foreach { stem =>
+    test(s"log categories match golden fixture: $stem") {
+      val json = Files.readString(examplesDir.resolve(s"$stem.city.json"))
+      val res = CjConvert.convert(s"cj:$stem", json)
+      val golden = Files.readString(goldenDir.resolve(s"$stem.logs.tsv"))
+      assert(GenGolden.logTsv(res.logs) == golden, s"log category drift for $stem")
+    }
+  }
+
   test("conversion is deterministic: identical output across repeated runs") {
     val json = Files.readString(examplesDir.resolve("Building.city.json"))
     val r1 = CjConvert.convert("cj:Building", json)
