@@ -24,6 +24,28 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Word-bigram Jaccard pairs over a bounded head sample, fully relational
+    * (shingle explode + self-equi-join on shingle — never a cross product);
+    * the corpus-scale path is Dedup.minhashPairs. The threshold test is
+    * integer arithmetic: engine-exact vs the DuckDB oracle. */
+  private def bigramJaccardPairs(documents: DataFrame): DataFrame = {
+    val docs = documents.filter(col("doc_id") < 100)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .filter(col("n_inter") * 100 >= col("n_union") * 8)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+  }
+
   /** Flagship: the full web-text KG pipeline on the sf0.001-scaled corpus. */
   def entry(spark: SparkSession): DataFrame =
     KgPipeline.triples(spark, PagesSynth.pageCount("sf0.001")).toDF()
@@ -306,25 +328,17 @@ object SparkEntry {
     }),
     "doc_ngram_jaccard" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      // word-bigram Jaccard over a bounded head sample, fully relational
-      // (shingle explode + self-equi-join on shingle — never a cross
-      // product); the corpus-scale path is Dedup.minhashPairs. The
-      // threshold test is integer arithmetic: engine-exact vs the oracle.
-      val docs = t(dir, "documents").filter(col("doc_id") < 100)
-        .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 2)
-      val sh = docs.select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))).as("sh"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
-        .filter(col("n_inter") * 100 >= col("n_union") * 8)
-        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+      bigramJaccardPairs(t(dir, "documents"))
+    }),
+    "doc_dup_components" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // near-dup pairs -> transitive closure -> cluster label per document:
+      // the keep-one-per-cluster primitive (Dedup.components, iterative
+      // min-label propagation). Oracled end-to-end: the pair stage is the
+      // SQL-replicable bigram-Jaccard and the closure a recursive CTE.
+      graft.dedup.Dedup.components(
+          bigramJaccardPairs(t(dir, "documents")).select("doc_a", "doc_b"))
+        .select(col("id").as("doc_id"), col("component"))
     }),
     "doc_minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -547,6 +561,19 @@ object SparkEntry {
          SELECT p.doc_a, p.doc_b, p.n_inter, sa.n + sb.n - p.n_inter AS n_union
          FROM p JOIN s sa ON sa.doc_id = p.doc_a JOIN s sb ON sb.doc_id = p.doc_b
          WHERE p.n_inter * 100 >= (sa.n + sb.n - p.n_inter) * 8""",
+    "doc_dup_components" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents WHERE doc_id < 100),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh
+               FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t),
+         s AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+         p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         p AS (SELECT doc_a, doc_b FROM p0 JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+               WHERE n_inter * 100 >= (sa.n + sb.n - n_inter) * 8),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+         r(x, y) AS (SELECT a, b FROM sym UNION SELECT r.x, sym.b FROM r JOIN sym ON r.y = sym.a)
+         SELECT x AS doc_id, LEAST(x, MIN(y)) AS component FROM r GROUP BY x""",
     "emb_pairs_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -152,6 +152,57 @@ object Dedup {
       .toDF("vec_a", "vec_b", "cosine")
   }
 
+  /** Connected components over an undirected pair list — the step that turns
+    * near-dup PAIRS into a keep-one-per-cluster decision (pairs alone cannot:
+    * dup relations are transitive through chains A~B~C).
+    *
+    * Iterative min-label propagation: each round every vertex takes the min
+    * of its own label and its neighbors' labels (one equi join + one
+    * partial/final min agg per round), converging in O(diameter) rounds —
+    * near-dup clusters are shallow (a handful of rounds). Per-round
+    * localCheckpoint cuts the lineage so the plan does not grow with
+    * iterations. At adversarial diameters (long chains) switch to
+    * large-star/small-star, which bounds rounds at O(log n); the round
+    * structure here is the same shuffle shape.
+    *
+    * Returns (id, component) where component = min id reachable.
+    */
+  def components(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("component"))
+      val next = labels.unionAll(viaNeighbor)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep-list from near-dup pairs: the canonical document of each component
+    * is its min id; documents in no pair keep themselves (singleton). */
+  def nearDupKeep(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("keep", col("doc_id") === col("component"))
+  }
+
   /** Brute-force pairwise n-gram Jaccard (test oracle / tiny inputs only). */
   def bruteJaccardPairs(docs: DataFrame, threshold: Double): Vector[(Long, Long, Double)] = {
     val rows = docs.select(col("doc_id").cast("long"), col("text")).collect()

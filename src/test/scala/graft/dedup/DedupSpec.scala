@@ -95,4 +95,48 @@ class DedupSpec extends SparkTestBase {
     val overlap = w1.intersect(w2).size.toDouble / w1.size
     assert(overlap > 0.7, s"overlap $overlap")
   }
+
+  test("connected components agree with a local union-find on random graphs") {
+    val sps = spark; import sps.implicits._
+    (0 until 3).foreach { trial =>
+      val rng = Rng.at(909, trial)
+      val n = 60
+      val edges = (0 until 80).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (x, y) => x != y }
+      val df = spark.createDataset(edges).toDF("doc_a", "doc_b")
+
+      // local union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (x, y) =>
+        val (rx, ry) = (find(x.toInt), find(y.toInt))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val want = edges.flatMap { case (x, y) => Seq(x, y) }.distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+
+      val got = Dedup.components(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // same vertex set, and component labels = min reachable id
+      assert(got.keySet == want.keySet, s"trial $trial vertex set")
+      // union-find min-parent == min reachable id after path compression walk
+      val wantMin = want.groupBy(_._2).flatMap { case (_, m) =>
+        val mn = m.keys.min; m.keys.map(_ -> mn)
+      }
+      assert(got == wantMin, s"trial $trial components")
+    }
+  }
+
+  test("nearDupKeep keeps exactly one document per dup cluster") {
+    val docs = corpus()
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5).select("doc_a", "doc_b")
+    val keep = Dedup.nearDupKeep(docs, pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"), r.getAs[Boolean]("keep")))
+    // one keeper per component, every doc assigned, keeper = min id
+    keep.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.count(_._3) == 1, s"component $comp keepers")
+      assert(members.filter(_._3).head._1 == members.map(_._1).min)
+    }
+    assert(keep.length == docs.count())
+  }
 }
