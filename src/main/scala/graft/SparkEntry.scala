@@ -171,6 +171,26 @@ object SparkEntry {
         .select(col("o_orderkey"),
           round(col("o_totalprice") * 100).cast("bigint").as("totalprice_cents"))
     }),
+    "q_pivot" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")).cast("bigint"))
+        .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"), col("R").as("qty_r"))
+    }),
+    "q_grouping_sets" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // explicit grouping sets (not derivable from rollup/cube): by flag,
+      // by status, and grand total — via SQL on a temp view
+      t(dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                  COALESCE(l_linestatus, 'ALL') AS linestatus,
+                  COUNT(*) AS n_rows
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
     "q_rollup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       t(dir, "lineitem")
@@ -515,6 +535,17 @@ object SparkEntry {
     "q_top_orders" ->
       """SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_cents
          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_pivot" ->
+      """SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag='A' THEN l_quantity END) AS BIGINT) AS qty_a,
+           CAST(SUM(CASE WHEN l_returnflag='N' THEN l_quantity END) AS BIGINT) AS qty_n,
+           CAST(SUM(CASE WHEN l_returnflag='R' THEN l_quantity END) AS BIGINT) AS qty_r
+         FROM lineitem GROUP BY l_linestatus""",
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+              COALESCE(l_linestatus, 'ALL') AS linestatus,
+              COUNT(*) AS n_rows
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
          FROM documents GROUP BY md5(text)""",
