@@ -350,6 +350,24 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       bigramJaccardPairs(t(dir, "documents"))
     }),
+    "doc_decontaminate" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // benchmark decontamination: flag train docs (doc_id >= 50) sharing any
+      // word 4-gram with the eval set (doc_id < 50). Relational shingle
+      // equi-join; at corpus scale the eval shingle set broadcasts (eval sets
+      // are small) and shingles ride as hash64 keys instead of strings.
+      val docs = t(dir, "documents")
+      val sh = docs.withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(ws) - 3), i -> array_join(slice(ws, i, 4), ' '))"))).as("sh"))
+      val ev = sh.filter(col("doc_id") < 50).select("sh").distinct()
+      val hits = sh.filter(col("doc_id") >= 50).join(broadcast(ev), "sh")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") >= 50).select(col("doc_id"))
+        .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
+    }),
     "doc_dup_components" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // near-dup pairs -> transitive closure -> cluster label per document:
@@ -592,6 +610,15 @@ object SparkEntry {
          SELECT p.doc_a, p.doc_b, p.n_inter, sa.n + sb.n - p.n_inter AS n_union
          FROM p JOIN s sa ON sa.doc_id = p.doc_a JOIN s sb ON sb.doc_id = p.doc_b
          WHERE p.n_inter * 100 >= (sa.n + sb.n - p.n_inter) * 8""",
+    "doc_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, list_aggregate(ws[i:i+3], 'string_agg', ' ') AS sh
+               FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-3)) AS i) t),
+         ev AS (SELECT DISTINCT sh FROM g WHERE doc_id < 50),
+         hits AS (SELECT DISTINCT g.doc_id FROM g JOIN ev ON g.sh = ev.sh WHERE g.doc_id >= 50)
+         SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+         LEFT JOIN hits h ON h.doc_id = d.doc_id""",
     "doc_dup_components" ->
       """WITH RECURSIVE
          w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents WHERE doc_id < 100),
