@@ -124,6 +124,22 @@ object KgPipeline {
       .sortBy("subj")
       .saveAsTable(table)
 
+  /** Graph table partitioned by predicate namespace (the prefix before ':'):
+    * the third storage layout beside [[saltedForWrite]] (balanced scans) and
+    * [[writeBucketedGraph]] (co-located subject joins). Predicate families
+    * are few and heavily skewed toward `web:` — reads that filter on a
+    * family (ontology-only, mention-edges-only) prune whole directories at
+    * planning time (`PartitionFilters` at the scan), which at a 100 TB graph
+    * is the difference between a metadata lookup and a full scan. */
+  def writePartitionedGraph(triples: Dataset[Triple], path: String, parts: Int = 32): Unit =
+    triples
+      .withColumn("pred_ns", substring_index(col("pred"), ":", 1))
+      .repartition(parts, col("pred_ns"),
+        pmod(xxhash64(col("subj")), lit(parts)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("pred_ns")
+      .parquet(path)
+
   /** Checkpoint-resumable stage materialization (SURVEY.md §2.7): each stage
     * writes parquet + a manifest carrying the stage fingerprint and
     * per-partition row counts (the lineage record). A later run with the

@@ -122,6 +122,21 @@ class KgPipelineSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("predicate-partitioned graph prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graph_by_pred").toString
+    val tr = KgPipeline.triples(spark, 200)
+    KgPipeline.writePartitionedGraph(tr, dir, parts = 4)
+    val g = spark.read.parquet(dir)
+    val q = g.filter(col("pred_ns") === "web")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(pred_ns"), plan)
+    // pruned read returns exactly the web-namespace triples
+    val want = tr.filter(col("pred").startsWith("web:")).count()
+    assert(q.count() == want)
+    // non-web families live in other partitions, untouched by this scan
+    assert(g.count() > want)
+  }
+
   test("AQE splits skewed shuffle partitions in a hot-key relational join") {
     val sps = spark; import sps.implicits._
     // hot-key skew: 90% of the left side hits one key
