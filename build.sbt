@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout instead of the
+// sbt logger: the Bench/Verify JSON contract lines must arrive WITHOUT an
+// `[info] ` prefix or the driver's line-wise json parse misses them
+// (BENCH_r01.json had "parsed": null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

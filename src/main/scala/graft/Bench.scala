@@ -98,8 +98,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
     val tps = if (pipeSec > 0) (nTriples / pipeSec).toLong else 0L
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$n,"triples":$nTriples,"triples_per_sec":$tps,"sustained_pages":$nBig,"sustained_triples_per_sec":$sustainedTps,"cpus":$cpus}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$n,"triples":$nTriples,"triples_per_sec":$tps,"sustained_pages":$nBig,"sustained_triples_per_sec":$sustainedTps,"cpus":$cpus}"""
+    println(json)
+    // belt-and-braces beside the stdout contract line: a parse-safe copy on
+    // disk (round 1's line landed wrapped in sbt "[info] " and went unparsed)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.cj
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.model.{LogRow, Triple}
 
 /** Distributed CityJSON conversion: the pure per-document emitter
@@ -42,17 +43,28 @@ object CjSpark {
     })
   }
 
-  /** The reference example corpus as a Dataset (read-only fixtures). */
+  /** The reference example corpus as a Dataset (read-only fixtures).
+    *
+    * Read through the `binaryFile` source so EXECUTORS load the bytes from a
+    * FileScan — a driver-side `Files.readString` + `createDataset` ships
+    * every document inside the task closure (3 MB tasks at 12 fixtures, a
+    * driver bottleneck at any real corpus). The doc IRI derives from the
+    * file name, matching the golden fixtures. */
   def referenceCorpus(spark: SparkSession,
       dir: String = "/root/reference/examples"): Dataset[CjDoc] = {
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".city.json")).toVector.sortBy(_.getFileName.toString)
-    val docs = files.map { f =>
-      CjDoc("cj:" + f.getFileName.toString.stripSuffix(".city.json"),
-        java.nio.file.Files.readString(f))
-    }
-    spark.createDataset(docs).repartition(math.min(docs.size, 12))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.city.json")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val stem = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".city.json")
+        CjDoc(s"cj:$stem", new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      // spread the 12 fixtures over tasks (sizes are skewed: DenHaag is 3 MB,
+      // tetra is 1 KB — binaryFile packs by bytes, which would serialize the
+      // small fixtures behind the big ones in one task)
+      .repartition(12)
   }
 }

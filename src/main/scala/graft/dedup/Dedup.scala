@@ -49,23 +49,57 @@ object Dedup {
 
   /** Max bucket size expanded into pairs — a hot bucket beyond this is a
     * degenerate near-dup cluster; its pairs are capped to protect the job
-    * (the first `MaxBucket` members still pair with each other). */
+    * (the `MaxBucket` lowest-id members still pair with each other). */
   val MaxBucket = 1000
+
+  /** Cap each LSH bucket to its `MaxBucket` lowest-id members BEFORE any
+    * per-bucket materialization. A `row_number` window over the bucket key
+    * never holds more than one frame row, so a degenerate bucket (identical
+    * boilerplate at corpus scale, 10⁷+ members) streams through the sort
+    * instead of landing in a single `collect_list` aggregation row — the
+    * cap used to apply one stage too late, AFTER the full bucket was
+    * materialized, which is an OOM window at 100 TB. The window's sort
+    * shuffle hash-partitions on the same keys as the downstream groupBy, so
+    * Catalyst reuses the exchange (one shuffle total, unchanged). */
+  private def capBuckets(rows: DataFrame, keys: Seq[String], order: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(order))
+    rows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= MaxBucket)
+      .drop("__rn")
+  }
+
+  /** Per-run cap telemetry (no silent caps at scale): bucket counts and the
+    * exact number of candidate pairs the `MaxBucket` cap drops. Record this
+    * beside the pair output — at 100 TB the cap silently changes recall. */
+  def capTelemetry(bands: DataFrame, keys: Seq[String] = Seq("band", "band_hash")): DataFrame = {
+    val maxPairs = MaxBucket.toLong * (MaxBucket - 1) / 2
+    bands
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_multi_buckets"),
+        sum(when(col("n") > MaxBucket, 1L).otherwise(0L)).as("n_capped_buckets"),
+        // integer DIV, not `/`: double division loses exactness past 2^53
+        // (a 10⁹-member bucket has 5·10¹⁷ pairs)
+        sum(when(col("n") > MaxBucket,
+          expr(s"n * (n - 1) DIV 2") - lit(maxPairs)).otherwise(0L)).as("dropped_candidate_pairs"))
+  }
 
   /** Candidate pairs from shared LSH buckets (doc_a < doc_b, distinct).
     * One aggregation over the band rows — the signature stage is computed
     * exactly once (a self-join would recompute it per side), and in-bucket
-    * pair expansion is local to each bucket. */
+    * pair expansion is local to each bucket, bounded by [[capBuckets]]. */
   def candidatePairs(bands: DataFrame): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
-    bands
+    capBuckets(bands, Seq("band", "band_hash"), "doc_id")
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids0 =>
-        val ids = ids0.distinct.sorted.take(MaxBucket)
+        val ids = ids0.distinct.sorted
         for { i <- ids.indices.iterator; j <- (i + 1) until ids.size } yield (ids(i), ids(j))
       }
       .toDF("doc_a", "doc_b")
@@ -111,13 +145,13 @@ object Dedup {
     val banded = sh.flatMap { case (id, s) =>
       (0 until 4).map(b => (id, s, b, (s >>> (16 * b)) & 0xffffL))
     }.toDF("doc_id", "simhash", "band", "key")
-    banded
+    capBuckets(banded, Seq("band", "key"), "doc_id")
       .groupBy(col("band"), col("key"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
       .filter(size(col("members")) > 1)
       .select(col("members")).as[Seq[(Long, Long)]]
       .flatMap { members0 =>
-        val members = members0.distinct.sortBy(_._1).take(MaxBucket)
+        val members = members0.distinct.sortBy(_._1)
         for {
           i <- members.indices.iterator
           j <- (i + 1) until members.size
@@ -133,15 +167,16 @@ object Dedup {
   def embeddingPairs(emb: DataFrame, threshold: Double, bits: Int = 10): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+    val bucketed = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) => (TextOps.hyperplaneBucket(v, bits), id, v) })
       .toDF("bucket", "vec_id", "embedding")
+    capBuckets(bucketed, Seq("bucket"), "vec_id")
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
       .filter(size(col("members")) > 1)
       .select(col("members")).as[Seq[(Long, Array[Float])]]
       .flatMap { members0 =>
-        val members = members0.sortBy(_._1).take(MaxBucket)
+        val members = members0.sortBy(_._1)
         for {
           i <- members.indices.iterator
           j <- (i + 1) until members.size
@@ -165,10 +200,14 @@ object Dedup {
     * large-star/small-star, which bounds rounds at O(log n); the round
     * structure here is the same shuffle shape.
     *
+    * Throws `IllegalStateException` if `maxIter` rounds pass without
+    * convergence — silently returning partially-propagated labels would
+    * hand nearDupKeep callers wrong keep-lists with no signal.
+    *
     * Returns (id, component) where component = min id reachable.
     */
   def components(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
@@ -190,6 +229,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.components did not converge in $maxIter rounds — dup-graph diameter " +
+          s"exceeds the bound; raise maxIter or switch to large-star/small-star")
     labels
   }
 

@@ -16,6 +16,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_hash64"),
       new ExpressionInfo(classOf[Hash64Expr].getName, "graft_hash64"),
-      (exprs: Seq[Expression]) => Hash64Expr(exprs.head)))
+      (exprs: Seq[Expression]) => Hash64Expr(GraftExtensions.exactlyOne("graft_hash64", exprs))))
+  }
+}
+
+object GraftExtensions {
+  /** Arity gate shared by both registration paths: a zero-arg call must not
+    * surface as NoSuchElementException and extra args must not be silently
+    * ignored — raise a proper analysis-time error instead. */
+  private[functions] def exactlyOne(name: String, exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> "1",
+          "actualNum" -> exprs.length.toString, "docroot" -> ""))
+    exprs.head
   }
 }

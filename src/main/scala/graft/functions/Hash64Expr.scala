@@ -61,7 +61,8 @@ object Hash64Expr {
   /** SQL + Column registration: `graft_hash64(text)` / call_function. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hash64", exprs => Hash64Expr(exprs.head), "built-in")
+      "graft_hash64",
+      exprs => Hash64Expr(GraftExtensions.exactlyOne("graft_hash64", exprs)), "built-in")
 
   /** Column-level entry point (requires register() on the session first). */
   def graft_hash64(c: Column): Column =

@@ -17,6 +17,11 @@ import graft.model.{Link, Mention}
   *    max_by), exposed through SparkEntry for the DuckDB oracle and for
   *    plans where the alias index outgrows a local map. Deterministic
   *    tie-break on (prior desc, entity_iri asc).
+  *
+  * Contract: both paths emit one output row per INPUT MENTION ROW (no
+  * dedup) — callers own span uniqueness. MentionDetect's greedy
+  * non-overlapping scan emits unique (url, span) rows by construction
+  * (locked by `MentionDetectSpec`), so the two paths stay equivalent.
   */
 object Linker {
 

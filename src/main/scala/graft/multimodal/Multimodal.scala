@@ -80,8 +80,8 @@ object Multimodal {
   /** resize to (w, h): re-encodes the header with the target dimensions and
     * resamples the payload to the proportional byte budget (nearest-byte —
     * the stand-in for a real pixel resampler; the swap-in point is this one
-    * function body). Undecodable blobs pass through untouched rows-dropped,
-    * mirroring decode error isolation. */
+    * function body). Undecodable blobs are dropped, mirroring decodeMeta's
+    * error isolation. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -52,9 +52,13 @@ object AsofJoin {
 
     val bounded = toleranceSec match {
       case Some(tol) =>
+        // microsecond-exact tolerance: unix_timestamp truncates to seconds,
+        // which would admit matches up to 999 ms beyond the cutoff while the
+        // rest of the engine (RangeJoin, sessions) is µs-exact
         carried.withColumn("__match",
           when(col("__match").isNotNull &&
-            (unix_timestamp(col("__ts")) - unix_timestamp(col(s"__match.$rightTs"))) <= tol,
+            (unix_micros(col("__ts").cast("timestamp")) -
+              unix_micros(col(s"__match.$rightTs").cast("timestamp"))) <= tol * 1000000L,
             col("__match")))
       case None => carried
     }

@@ -29,6 +29,13 @@ object RangeJoin {
       rightPayload: Seq[String]): DataFrame = {
     require(beforeSec >= 0 && afterSec >= 0 && beforeSec + afterSec > 0,
       "window must be non-empty")
+    val reserved = Set("__lep", "__band", "__rk", "__rep")
+    val leftClash = left.columns.filter(reserved.contains)
+    require(leftClash.isEmpty, s"left input uses reserved column(s): ${leftClash.mkString(",")}")
+    val outClash = (rightTs +: rightPayload).map(c => s"range_$c").toSet
+      .intersect(left.columns.toSet)
+    require(outClash.isEmpty,
+      s"left input collides with generated output column(s): ${outClash.mkString(",")}")
     val beforeUs = beforeSec * 1000000L
     val afterUs = afterSec * 1000000L
     val wUs = beforeUs + afterUs // band width in microseconds

@@ -3,6 +3,7 @@ package graft.dedup
 import graft.SparkTestBase
 import graft.text.TextOps
 import graft.util.Rng
+import org.apache.spark.sql.functions.{col, lit, max}
 
 class DedupSpec extends SparkTestBase {
 
@@ -125,6 +126,52 @@ class DedupSpec extends SparkTestBase {
       }
       assert(got == wantMin, s"trial $trial components")
     }
+  }
+
+  test("a planted 1e5-member degenerate bucket is capped BEFORE materialization") {
+    val sps = spark; import sps.implicits._
+    // 100k identical documents: every LSH band bucket holds all 100k members.
+    // The cap must apply in the window (streaming sort), never materializing
+    // a 100k-element collect_list row — this completes in seconds within the
+    // suite's small task memory; the uncapped aggregation row would not at
+    // corpus scale.
+    val n = 100000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("identical boilerplate text repeated across the corpus").as("text"))
+    val bands = Dedup.minhashBands(docs)
+    val pairs = Dedup.candidatePairs(bands)
+    // MaxBucket lowest ids pair with each other; nothing else survives
+    assert(pairs.count() == Dedup.MaxBucket.toLong * (Dedup.MaxBucket - 1) / 2)
+    assert(pairs.agg(max("doc_b")).collect()(0).getLong(0) == Dedup.MaxBucket - 1)
+
+    // telemetry: no silent caps — the dropped-pair count is exact
+    val t = Dedup.capTelemetry(bands).collect()(0)
+    assert(t.getAs[Long]("n_buckets") == graft.text.TextOps.MinhashBands)
+    assert(t.getAs[Long]("n_capped_buckets") == graft.text.TextOps.MinhashBands)
+    val perBucketDropped = n.toLong * (n - 1) / 2 - Dedup.MaxBucket.toLong * (Dedup.MaxBucket - 1) / 2
+    assert(t.getAs[Long]("dropped_candidate_pairs") ==
+      graft.text.TextOps.MinhashBands * perBucketDropped)
+  }
+
+  test("cap telemetry reports zero drops on an uncapped corpus") {
+    val t = Dedup.capTelemetry(Dedup.minhashBands(corpus())).collect()(0)
+    assert(t.getAs[Long]("n_capped_buckets") == 0L)
+    assert(t.getAs[Long]("dropped_candidate_pairs") == 0L)
+    assert(t.getAs[Long]("n_multi_buckets") > 0L)
+  }
+
+  test("components throws instead of silently returning non-converged labels") {
+    val sps = spark; import sps.implicits._
+    // a 12-vertex chain has diameter 11 -> needs 11 propagation rounds
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val df = spark.createDataset(chain).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.components(df, maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // with enough rounds the same chain converges to component 0
+    val ok = Dedup.components(df, maxIter = 15).collect()
+    assert(ok.forall(_.getLong(1) == 0L))
   }
 
   test("nearDupKeep keeps exactly one document per dup cluster") {

@@ -21,6 +21,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val want = Hash64Expr.hashUtf8(org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
       assert(got == want)
       assert(got == graft.text.TextOps.hash64("hello"))
+
+      // arity gate: zero args and two args both raise an AnalysisException
+      // (not NoSuchElementException / silent second-arg drop)
+      val e0 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT graft_hash64()").collect()
+      }
+      assert(e0.getMessage.contains("graft_hash64"))
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT graft_hash64('a', 'b')").collect()
+      }
+      assert(e2.getMessage.contains("graft_hash64"))
+
+      // the per-session register() path enforces the same arity
+      Hash64Expr.register(spark)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT graft_hash64('a', 'b')").collect()
+      }
     } finally spark.stop()
   }
 }

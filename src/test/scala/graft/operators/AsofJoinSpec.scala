@@ -38,6 +38,19 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out("L2") == null) // R3 is 50s old > 20s tolerance
   }
 
+  test("tolerance is microsecond-exact, not truncated to seconds") {
+    val sps = spark; import sps.implicits._
+    def tms(ms: Long) = new Timestamp(1704067200000L + ms)
+    // right at t=0; left rows at 20.000s and 20.500s after it
+    val left = Seq((1L, tms(20000), "Lexact"), (1L, tms(20500), "Lpast")).toDF("k", "t", "lv")
+    val right = Seq((1L, tms(0), "R0")).toDF("k", "t", "rv")
+    val out = AsofJoin.backward(left, right, "k", "t", "t", Seq("rv"), toleranceSec = Some(20))
+      .collect().map(r => r.getAs[String]("lv") -> r.getAs[String]("asof_rv")).toMap
+    assert(out("Lexact") == "R0") // exactly at the 20 s cutoff: kept
+    // 20.5 s old: second-truncated arithmetic would read 20 and wrongly keep it
+    assert(out("Lpast") == null)
+  }
+
   test("as-of join agrees with a brute-force computation on events data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val purchases = ev.filter("event_type = 'purchase'")

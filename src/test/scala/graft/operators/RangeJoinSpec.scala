@@ -83,4 +83,18 @@ class RangeJoinSpec extends SparkTestBase {
     assert(!physical.contains("CartesianProduct"), physical)
     assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
   }
+
+  test("reserved internal and generated output names are rejected, not shadowed") {
+    val (l, r) = sides()
+    val badInternal = l.withColumn("__band", org.apache.spark.sql.functions.lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.band(badInternal, r, "user_id", "ts", "ts", 600, 0, Seq("event_id"))
+    }
+    assert(e1.getMessage.contains("__band"))
+    val badOutput = l.withColumn("range_event_id", org.apache.spark.sql.functions.lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.band(badOutput, r, "user_id", "ts", "ts", 600, 0, Seq("event_id"))
+    }
+    assert(e2.getMessage.contains("range_event_id"))
+  }
 }
