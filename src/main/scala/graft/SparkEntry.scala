@@ -217,6 +217,19 @@ object SparkEntry {
       graft.operators.AsofJoin.backward(purchases, views, "user_id", "ts", "ts", Seq("event_id"))
         .select(col("event_id"), col("asof_event_id").as("view_event_id"))
     }),
+    "ev_asof_join_tol" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // tolerance-bounded variant, microsecond-exact (oracled against DuckDB
+      // ASOF + epoch_us predicate). 203 s is chosen so the sf0.01 corpus
+      // contains a match 0.45 s PAST the cutoff — second-truncated tolerance
+      // arithmetic would wrongly keep it, so the oracle locks the us path.
+      val ev = t(dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val views = ev.filter(col("event_type") === "view")
+      graft.operators.AsofJoin.backward(purchases, views, "user_id", "ts", "ts",
+          Seq("event_id"), toleranceSec = Some(203))
+        .select(col("event_id"), col("asof_event_id").as("view_event_id"))
+    }),
     "ev_sessions" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
@@ -383,6 +396,11 @@ object SparkEntry {
       Dedup.minhashPairs(t(dir, "documents"), threshold = 0.3)
         .select(col("doc_a"), col("doc_b")) // drop float jaccard from compare
     }),
+    "doc_dedup_telemetry" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // no silent caps: per-run LSH bucket stats + exact dropped-pair count
+      Dedup.capTelemetry(Dedup.minhashBands(t(dir, "documents")))
+    }),
     "doc_simhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.simhashPairs(t(dir, "documents"), maxHamming = 10)
@@ -478,8 +496,151 @@ object SparkEntry {
     })
   )
 
-  /** DuckDB oracle SQL per query (omitted => rows-only check). */
+  /** Auxiliary input dumps written by Verify beside the query results so
+    * oracles can RECOMPUTE a distributed op in DuckDB from its inputs —
+    * the `{OUT}` placeholder in [[oracleSql]] is substituted with the Verify
+    * outDir at dump time. The dumped values themselves are frozen-function
+    * outputs already locked by specs (TextOps/MentionDetect); the oracle
+    * independently re-derives the JOIN/AGGREGATION/THRESHOLD logic on top. */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // link-join inputs: mention stream + alias index (kg_* oracles)
+    "aux_mentions" -> ((s, dir) => {
+      import s.implicits._
+      val ext = KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir)))
+      val bc = s.sparkContext.broadcast(MentionDetect.buildDictionary(PagesSynth.aliasMap.keys))
+      ext.mapPartitions(_.flatMap(p => MentionDetect.detect(p.url, p.text, bc.value))).toDF()
+    }),
+    "aux_aliases" -> ((s, dir) => PagesSynth.aliases(s).toDF()),
+    // per-stage outputs whose CARDINALITIES the kg_triples_by_pred oracle
+    // recomputes against the emission contract
+    "aux_extracted" -> ((s, dir) =>
+      KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir)))
+        .toDF().select(col("url"), col("lang"), col("extract_ok"))),
+    "aux_links" -> ((s, dir) =>
+      KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
+        PagesSynth.aliasMap).toDF().select(col("url"), col("entity_iri"))),
+    // dedup signature stages (doc_minhash_pairs / doc_simhash_pairs /
+    // doc_dedup_telemetry oracles re-derive banding+verification from these)
+    "aux_minhash_bands" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.minhashBands(t(dir, "documents"))
+    }),
+    "aux_shingles" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, txt) =>
+          TextOps.shingleHashes(txt).iterator.map(h => (id, h)) })
+        .toDF("doc_id", "shingle_hash")
+    }),
+    "aux_simhashes" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.simhashes(t(dir, "documents"))
+    })
+  )
+
+  /** DuckDB oracle SQL per query (omitted => rows-only check).
+    *
+    * Three oracle families beyond plain ANSI rewrites:
+    *  - `{OUT}/aux_*` parquet (written by Verify, see [[auxDumps]]): the
+    *    oracle re-derives a distributed join/agg from its dumped inputs.
+    *  - `/root/repo/golden/...`: checked-in golden fixtures (emitter
+    *    regression locks, loaded into DuckDB).
+    *  - `/root/repo/golden/frozen/...`: frozen expected outputs of
+    *    non-SQL-expressible pure functions at sf0.01 (generated once by
+    *    `graft.tools.GenFrozen`, reviewed, committed — a drift lock).
+    */
   def oracleSql: Map[String, String] = Map(
+    "kg_top_entities" ->
+      """WITH best AS (SELECT alias_norm, entity_iri FROM (
+           SELECT alias_norm, entity_iri,
+             ROW_NUMBER() OVER (PARTITION BY alias_norm ORDER BY prior DESC, entity_iri ASC) AS rn
+           FROM read_parquet('{OUT}/aux_aliases/*.parquet')) WHERE rn = 1)
+         SELECT b.entity_iri, COUNT(*) AS n_mentions
+         FROM read_parquet('{OUT}/aux_mentions/*.parquet') m JOIN best b USING (alias_norm)
+         GROUP BY b.entity_iri""",
+    "kg_link_relational" ->
+      """WITH best AS (SELECT alias_norm, entity_iri FROM (
+           SELECT alias_norm, entity_iri,
+             ROW_NUMBER() OVER (PARTITION BY alias_norm ORDER BY prior DESC, entity_iri ASC) AS rn
+           FROM read_parquet('{OUT}/aux_aliases/*.parquet')) WHERE rn = 1)
+         SELECT b.entity_iri, COUNT(*) AS n_links
+         FROM read_parquet('{OUT}/aux_mentions/*.parquet') m JOIN best b USING (alias_norm)
+         GROUP BY b.entity_iri""",
+    "kg_triples_by_pred" ->
+      """WITH p AS (SELECT COUNT(*) AS n FROM read_parquet('{OUT}/aux_extracted/*.parquet')),
+              l AS (SELECT COUNT(*) AS n FROM read_parquet('{OUT}/aux_links/*.parquet'))
+         SELECT pred, CAST(n AS BIGINT) AS n_triples FROM (
+           SELECT 'rdf:type' AS pred, p.n + 6 + 400 AS n FROM p
+           UNION ALL SELECT 'web:lang', p.n FROM p
+           UNION ALL SELECT 'web:warc_ts', p.n FROM p
+           UNION ALL SELECT 'web:n_chars', p.n FROM p
+           UNION ALL SELECT 'web:mentions', l.n FROM l
+           UNION ALL SELECT 'graft:range', 1
+           UNION ALL SELECT 'rdf:name', 400)""",
+    "doc_minhash_pairs" ->
+      """WITH b AS (SELECT doc_id, band, band_hash FROM read_parquet('{OUT}/aux_minhash_bands/*.parquet')),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+                  FROM b a JOIN b c ON a.band = c.band AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id),
+         s AS (SELECT doc_id, shingle_hash FROM read_parquet('{OUT}/aux_shingles/*.parquet')),
+         n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+         i AS (SELECT doc_a, doc_b, COUNT(*) AS ni
+               FROM cand JOIN s sa ON sa.doc_id = doc_a
+                         JOIN s sb ON sb.doc_id = doc_b AND sb.shingle_hash = sa.shingle_hash
+               GROUP BY doc_a, doc_b)
+         SELECT i.doc_a, i.doc_b
+         FROM i JOIN n na ON na.doc_id = i.doc_a JOIN n nb ON nb.doc_id = i.doc_b
+         WHERE i.ni * 10 >= (na.n + nb.n - i.ni) * 3""",
+    "doc_simhash_pairs" ->
+      """WITH s AS (SELECT doc_id, simhash FROM read_parquet('{OUT}/aux_simhashes/*.parquet')),
+         b AS (SELECT doc_id, simhash, t.band, (simhash >> (16 * t.band)) & 65535 AS key
+               FROM s, (SELECT UNNEST([0,1,2,3]) AS band) t),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa, c.doc_id AS doc_b, c.simhash AS sb
+                  FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 10""",
+    "doc_dedup_telemetry" ->
+      """WITH b AS (SELECT band, band_hash, COUNT(*) AS n
+                    FROM read_parquet('{OUT}/aux_minhash_bands/*.parquet') GROUP BY band, band_hash)
+         SELECT COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
+           CAST(SUM(CASE WHEN n > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_buckets,
+           CAST(SUM(CASE WHEN n > 1000 THEN n * (n - 1) // 2 - 499500 ELSE 0 END) AS BIGINT) AS dropped_candidate_pairs
+         FROM b""",
+    "doc_simhash" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/doc_simhash.parquet')",
+    "doc_fingerprint" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/doc_fingerprint.parquet')",
+    "doc_split_hash64" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/doc_split_hash64.parquet')",
+    "doc_langid" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/doc_langid.parquet')",
+    "doc_quality_score" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/doc_quality_score.parquet')",
+    "emb_label_knn_purity" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS q_label
+                    FROM embeddings ORDER BY vec_id LIMIT 50),
+         r AS (SELECT q.qid, q.q_label, e.label AS n_label,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id ASC) AS rnk
+               FROM q, embeddings e WHERE e.vec_id <> q.qid)
+         SELECT COUNT(*) AS n_queries,
+                CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label
+         FROM r WHERE rnk = 1""",
+    "cj_triples_by_pred" ->
+      """SELECT pred, COUNT(*) AS n_triples
+         FROM read_ndjson_auto('/root/repo/golden/*.triples.ndjson')
+         GROUP BY pred""",
+    "cj_doc_stats" ->
+      """SELECT 'cj:' || fixture AS doc_iri, CAST(triples AS BIGINT) AS n_triples,
+              CAST(error_logs AS BIGINT) AS n_errors, FALSE AS failed
+         FROM read_csv('/root/repo/golden/SUMMARY.tsv', delim='\t', header=true)""",
+    "cj_log_categories" ->
+      """SELECT level, COUNT(*) AS n_categories FROM (
+           SELECT DISTINCT level, category
+           FROM read_csv('/root/repo/golden/*.logs.tsv', delim='\t', header=true, quote=''))
+         GROUP BY level""",
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
@@ -528,6 +689,13 @@ object SparkEntry {
          FROM events GROUP BY event_type, date_trunc('hour', ts)""",
     "ev_asof_join" ->
       """SELECT p.event_id, v.event_id AS view_event_id
+         FROM (SELECT * FROM events WHERE event_type='purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "ev_asof_join_tol" ->
+      """SELECT p.event_id,
+           CASE WHEN v.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(v.ts) <= 203000000
+                THEN v.event_id END AS view_event_id
          FROM (SELECT * FROM events WHERE event_type='purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",

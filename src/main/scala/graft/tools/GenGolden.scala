@@ -24,14 +24,22 @@ object GenGolden {
       case c => c.toString
     }
 
+  private def tsvField(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+
   /** category-deduped log view (the CLI contract, Main.cpp:63-65):
     * count + first-seen representative per category, deterministic order
-    * (count desc, then category) so the golden lock is stable. */
+    * (count desc, then category) so the golden lock is stable. Structured
+    * TSV (header `n level category msg path`) so the corpus-level log
+    * queries (`cj_log_categories`) can be cross-checked in DuckDB. */
   def logTsv(logs: Vector[graft.model.LogRow]): String = {
     val logLines = logs.groupBy(_.category).toVector
       .sortBy { case (cat, rows) => (-rows.size, cat) }
-      .map { case (_, rows) => s"${rows.size}\t[${rows.head.level}] ${rows.head.msg} (${rows.head.path})" }
-    logLines.mkString("", "\n", "\n")
+      .map { case (cat, rows) =>
+        val h = rows.head
+        s"${rows.size}\t${h.level}\t${tsvField(cat)}\t${tsvField(h.msg)}\t${tsvField(h.path)}"
+      }
+    logLines.mkString("n\tlevel\tcategory\tmsg\tpath\n", "\n", "\n")
   }
 
   def tripleJson(t: Triple): String = {
