@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Triple
+
+/** One interface over the graph-table write layouts, so the storage
+  * substitution (this sandbox has no Iceberg jars → parquet + session
+  * catalog) swaps to Iceberg WITHOUT touching callers: an Iceberg-backed
+  * implementation changes only the `write`/`read` bodies
+  * (`writeTo(target).append()` / `spark.read.table`), while every caller —
+  * pipeline, tests, Verify — stays on the trait.
+  *
+  * Iceberg mapping of what each layout encodes (documented contract):
+  *  - [[GraphSink.Salted]] → a plain Iceberg table; the salted repartition
+  *    becomes the write distribution (`write.distribution-mode=hash` +
+  *    salt column, or a sort order on (subj, salt)). Balanced scans.
+  *  - [[GraphSink.BucketedTable]] → Iceberg `bucket(N, subj)` partition
+  *    transform + sorted write; storage-partitioned joins give the same
+  *    shuffle-free subject self-join this layout's test locks.
+  *  - [[GraphSink.PredicatePartitioned]] → Iceberg identity partition on
+  *    `pred_ns`; planning-time partition pruning replaces the directory
+  *    pruning asserted today.
+  *  - [[KgPipeline.runStage]] manifests → Iceberg snapshots: the manifest's
+  *    `fingerprint` maps to a snapshot summary property, its per-file row
+  *    counts to the snapshot's manifest-entry metrics; resume-if-complete
+  *    becomes "current snapshot carries the fingerprint property".
+  */
+trait GraphSink {
+  def name: String
+  /** Materialize the triples at `target` (path or table name, per layout). */
+  def write(triples: Dataset[Triple], target: String): Unit
+  /** Read the materialized graph back; must round-trip `write` losslessly
+    * on the Triple columns (layouts may add derived columns, e.g. pred_ns —
+    * `read` projects them away). */
+  def read(spark: SparkSession, target: String): DataFrame
+}
+
+object GraphSink {
+
+  private val tripleCols = Seq("subj", "pred", "obj_iri", "obj_lit", "obj_type").map(col)
+
+  /** Salted balanced layout (north rule): partition key (subj, salt) spreads
+    * hot hosts/entities, subject locality mostly kept. */
+  final class Salted(parts: Int = 32, saltFanout: Int = 16) extends GraphSink {
+    val name = "salted"
+    def write(triples: Dataset[Triple], target: String): Unit =
+      KgPipeline.saltedForWrite(triples, parts, saltFanout)
+        .write.mode(SaveMode.Overwrite).parquet(target)
+    def read(spark: SparkSession, target: String): DataFrame =
+      spark.read.parquet(target).select(tripleCols: _*)
+  }
+
+  /** Subject-bucketed catalog table: co-locates triples by subject so
+    * subject-keyed self-joins run shuffle-free. */
+  final class BucketedTable(buckets: Int = 32) extends GraphSink {
+    val name = "bucketed"
+    def write(triples: Dataset[Triple], target: String): Unit =
+      triples.write
+        .mode(SaveMode.Overwrite)
+        .format("parquet")
+        .bucketBy(buckets, "subj")
+        .sortBy("subj")
+        .saveAsTable(target)
+    def read(spark: SparkSession, target: String): DataFrame =
+      spark.table(target).select(tripleCols: _*)
+  }
+
+  /** Predicate-namespace partitioned layout: directory pruning for
+    * family-filtered reads (ontology-only, mention-edges-only). */
+  final class PredicatePartitioned(parts: Int = 32) extends GraphSink {
+    val name = "pred_partitioned"
+    def write(triples: Dataset[Triple], target: String): Unit =
+      triples
+        .withColumn("pred_ns", substring_index(col("pred"), ":", 1))
+        .repartition(parts, col("pred_ns"), pmod(xxhash64(col("subj")), lit(parts)))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("pred_ns")
+        .parquet(target)
+    def read(spark: SparkSession, target: String): DataFrame =
+      spark.read.parquet(target).select(tripleCols: _*)
+  }
+
+  /** Every layout, for parameterized round-trip tests. */
+  def all(parts: Int): Seq[GraphSink] =
+    Seq(new Salted(parts), new BucketedTable(parts), new PredicatePartitioned(parts))
+}

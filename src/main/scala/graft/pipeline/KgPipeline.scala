@@ -112,17 +112,11 @@ object KgPipeline {
   /** Bucketed graph table: co-locates triples by subject so downstream
     * subject-keyed self-joins (path queries, star expansion) run shuffle-free
     * — the cluster-scale complement to [[saltedForWrite]] when the dominant
-    * read pattern is join-by-subject rather than balanced scan. (Iceberg is
-    * the target format per the north rule; this sandbox has no Iceberg jars,
-    * so the session-catalog bucketed parquet table is the stand-in with the
-    * same co-location contract.) */
+    * read pattern is join-by-subject rather than balanced scan. Delegates to
+    * [[GraphSink.BucketedTable]] (the one interface all storage layouts sit
+    * behind — swap to Iceberg there without touching callers). */
   def writeBucketedGraph(triples: Dataset[Triple], table: String, buckets: Int = 32): Unit =
-    triples.write
-      .mode(SaveMode.Overwrite)
-      .format("parquet")
-      .bucketBy(buckets, "subj")
-      .sortBy("subj")
-      .saveAsTable(table)
+    new GraphSink.BucketedTable(buckets).write(triples, table)
 
   /** Graph table partitioned by predicate namespace (the prefix before ':'):
     * the third storage layout beside [[saltedForWrite]] (balanced scans) and
@@ -130,15 +124,10 @@ object KgPipeline {
     * are few and heavily skewed toward `web:` — reads that filter on a
     * family (ontology-only, mention-edges-only) prune whole directories at
     * planning time (`PartitionFilters` at the scan), which at a 100 TB graph
-    * is the difference between a metadata lookup and a full scan. */
+    * is the difference between a metadata lookup and a full scan. Delegates
+    * to [[GraphSink.PredicatePartitioned]]. */
   def writePartitionedGraph(triples: Dataset[Triple], path: String, parts: Int = 32): Unit =
-    triples
-      .withColumn("pred_ns", substring_index(col("pred"), ":", 1))
-      .repartition(parts, col("pred_ns"),
-        pmod(xxhash64(col("subj")), lit(parts)))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("pred_ns")
-      .parquet(path)
+    new GraphSink.PredicatePartitioned(parts).write(triples, path)
 
   /** Checkpoint-resumable stage materialization (SURVEY.md §2.7): each stage
     * writes parquet + a manifest carrying the stage fingerprint and

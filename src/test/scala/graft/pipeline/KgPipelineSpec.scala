@@ -85,6 +85,25 @@ class KgPipelineSpec extends SparkTestBase {
     assert(manifest.contains("\"partitions\":["))
   }
 
+  // every storage layout, through the one GraphSink interface (the seam
+  // where the Iceberg substitution swaps in): write → read must round-trip
+  // the triple multiset losslessly
+  GraphSink.all(parts = 4).foreach { sink =>
+    test(s"graph sink round-trips the triple multiset losslessly: ${sink.name}") {
+      val tr = KgPipeline.triples(spark, 200)
+      val target = sink match {
+        case _: GraphSink.BucketedTable => s"graph_rt_${sink.name}"
+        case _ => Files.createTempDirectory(s"graph_rt_${sink.name}").toString + "/g"
+      }
+      sink.write(tr, target)
+      val back = sink.read(spark, target)
+      assert(back.columns.toSeq == Seq("subj", "pred", "obj_iri", "obj_lit", "obj_type"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(canon(back) == canon(tr.toDF()), s"${sink.name} round-trip diverged")
+    }
+  }
+
   test("salted write spreads skewed subjects across partitions") {
     val sps = spark; import sps.implicits._
     val tr = KgPipeline.triples(spark, N)
