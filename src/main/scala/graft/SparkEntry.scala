@@ -519,7 +519,12 @@ object SparkEntry {
     "aux_links" -> ((s, dir) =>
       KgPipeline.links(
         KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
-        PagesSynth.aliasMap).toDF().select(col("url"), col("entity_iri"))),
+        PagesSynth.aliasMap).toDF().select(col("url"), col("surface"), col("entity_iri"))),
+    // synthetic ground-truth links (kg_link_precision_recall oracle re-derives
+    // P/R from this dump + aux_links entirely inside DuckDB)
+    "aux_golds" -> ((s, dir) =>
+      PagesSynth.golds(s, PagesSynth.pageCount(dir))
+        .toDF().select(col("url"), col("surface"), col("entity_iri"))),
     // dedup signature stages (doc_minhash_pairs / doc_simhash_pairs /
     // doc_dedup_telemetry oracles re-derive banding+verification from these)
     "aux_minhash_bands" -> ((s, dir) => {
@@ -568,6 +573,30 @@ object SparkEntry {
          SELECT b.entity_iri, COUNT(*) AS n_links
          FROM read_parquet('{OUT}/aux_mentions/*.parquet') m JOIN best b USING (alias_norm)
          GROUP BY b.entity_iri""",
+    // the distributed part of extract-identity is the frozen-hash extract_ok
+    // flag (non-SQL); the oracle re-aggregates it from the per-page dump so
+    // the count/sum layer is independently recomputed
+    "kg_extract_identity" ->
+      """SELECT COUNT(*) AS n_pages,
+                CAST(SUM(CASE WHEN extract_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_byte_identical
+         FROM read_parquet('{OUT}/aux_extracted/*.parquet')""",
+    // P/R re-derived in DuckDB: distinct + three-way intersection join over
+    // the produced-link and synthetic-gold dumps; both divisions are IEEE
+    // double over exact counts on both engines
+    "kg_link_precision_recall" ->
+      """WITH produced AS (SELECT DISTINCT url, surface, entity_iri
+                           FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              gold AS (SELECT DISTINCT url, surface, entity_iri
+                       FROM read_parquet('{OUT}/aux_golds/*.parquet')),
+              tp AS (SELECT COUNT(*) AS c FROM produced JOIN gold
+                     USING (url, surface, entity_iri)),
+              np AS (SELECT COUNT(*) AS c FROM produced),
+              ng AS (SELECT COUNT(*) AS c FROM gold)
+         SELECT CASE WHEN np.c = 0 THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(tp.c AS DOUBLE) / np.c END AS precision,
+                CASE WHEN ng.c = 0 THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(tp.c AS DOUBLE) / ng.c END AS recall
+         FROM tp, np, ng""",
     "kg_triples_by_pred" ->
       """WITH p AS (SELECT COUNT(*) AS n FROM read_parquet('{OUT}/aux_extracted/*.parquet')),
               l AS (SELECT COUNT(*) AS n FROM read_parquet('{OUT}/aux_links/*.parquet'))

@@ -33,5 +33,15 @@ class IncrementalIngestSpec extends SparkTestBase {
     // each url appears exactly once per its triple set (no double ingestion)
     val dupUrls = after2.filter("pred = 'web:lang'").groupBy("subj").count().filter("count > 1").count()
     assert(dupUrls == 0, "no page ingested twice")
+
+    // batch equivalence: the streaming path must emit EXACTLY the triples the
+    // batch pipeline emits over the same input rows (read the ingested
+    // snapshots back as a batch source and run the same stages)
+    val batchPages = spark.read.schema(IncrementalIngest.pageSchema).parquet(pagesDir)
+      .as[graft.model.Page]
+    val batch = graft.pipeline.KgPipeline
+      .pageTriples(graft.pipeline.KgPipeline.extracted(batchPages), PagesSynth.aliasMap).toDF()
+    assert(after2.exceptAll(batch).count() == 0 && batch.exceptAll(after2).count() == 0,
+      "streaming output must equal batch output as a multiset")
   }
 }
