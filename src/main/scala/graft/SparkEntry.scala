@@ -9,9 +9,10 @@ import graft.link.Linker
 import graft.mention.MentionDetect
 import graft.model.{Mention, Vocab => V}
 import graft.multimodal.Multimodal
+import graft.operators.Triangles
 import graft.pipeline.KgPipeline
 import graft.synth.PagesSynth
-import graft.text.TextOps
+import graft.text.{TextOps, Tfidf}
 
 /** Driver contract: one `queries` entry per implemented operator
   * (SURVEY.md §2 + the training-data ops), with DuckDB-runnable `oracleSql`
@@ -75,6 +76,22 @@ object SparkEntry {
       val mentions = ext.mapPartitions(_.flatMap(p => MentionDetect.detect(p.url, p.text, bc.value)))
       Linker.linkRelational(mentions, PagesSynth.aliases(s).toDF())
         .groupBy("entity_iri").agg(count(lit(1)).as("n_links"))
+    }),
+    "kg_comention_triangles" -> ((s, dir) => {
+      // entity co-mention graph (edge = two entities linked on the same
+      // page) -> exact triangle count via degree-ordered orientation
+      // (Triangles.count: hub-proof wedge generation, no cross products)
+      // localCheckpoint: the per-url pair self-join references links twice —
+      // without it the synth+extract+link chain runs once per side
+      val links = KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
+        PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
+        .localCheckpoint()
+      val a = links.as("a"); val b = links.as("b")
+      val edges = a.join(b, col("a.url") === col("b.url") &&
+          col("a.entity_iri") < col("b.entity_iri"))
+        .select(col("a.entity_iri").as("src"), col("b.entity_iri").as("dst"))
+      Triangles.count(edges)
     }),
     "kg_link_precision_recall" -> ((s, dir) => {
       import s.implicits._
@@ -296,6 +313,28 @@ object SparkEntry {
         length(col("text")).as("n_chars"),
         (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
         (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digits"))
+    }),
+    "doc_tfidf_topterms" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // log-free idf (tf * N/df — engine-exact doubles); bounded doc set
+      // keeps the dump small, the operator itself is corpus-wide
+      Tfidf.topTerms(t(dir, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "text"), k = 3)
+    }),
+    "doc_length_quantiles" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // exact discrete per-group quantiles, pure integer rank arithmetic
+      // (ceil(p*n) as (p*n + 99) DIV 100 — no float index math to drift
+      // cross-engine). Per-lang sort is the exact path for bounded group
+      // counts; unbounded groups take approx_percentile instead.
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"))
+      t(dir, "documents").select("lang", "n_chars")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .groupBy("lang").agg(
+          max(when(col("rn") === expr("(50*n + 99) DIV 100"), col("n_chars"))).as("p50"),
+          max(when(col("rn") === expr("(90*n + 99) DIV 100"), col("n_chars"))).as("p90"),
+          max(when(col("rn") === expr("(99*n + 99) DIV 100"), col("n_chars"))).as("p99"))
     }),
     "doc_quality_score" -> ((s, dir) => {
       import s.implicits._
@@ -573,6 +612,41 @@ object SparkEntry {
          SELECT b.entity_iri, COUNT(*) AS n_links
          FROM read_parquet('{OUT}/aux_mentions/*.parquet') m JOIN best b USING (alias_norm)
          GROUP BY b.entity_iri""",
+    "kg_comention_triangles" ->
+      """WITH l AS (SELECT DISTINCT url, entity_iri
+                    FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              e AS (SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
+                    FROM l a JOIN l b
+                    ON a.url = b.url AND a.entity_iri < b.entity_iri)
+         SELECT COUNT(*) AS n_triangles
+         FROM e e1
+         JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst""",
+    "doc_tfidf_topterms" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+              toks AS (SELECT doc_id, term FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+                FROM d) WHERE term <> ''),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM d),
+              scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                                tf.tf * (CAST(nd.n AS DOUBLE) / df.df) AS score
+                         FROM tf JOIN df USING (term), nd),
+              r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+                    FROM scored)
+         SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3""",
+    "doc_length_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+                           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                           COUNT(*) OVER (PARTITION BY lang) AS n
+                    FROM documents)
+         SELECT lang,
+                MAX(CASE WHEN rn = (50*n + 99) // 100 THEN n_chars END) AS p50,
+                MAX(CASE WHEN rn = (90*n + 99) // 100 THEN n_chars END) AS p90,
+                MAX(CASE WHEN rn = (99*n + 99) // 100 THEN n_chars END) AS p99
+         FROM r GROUP BY lang""",
     // the distributed part of extract-identity is the frozen-hash extract_ok
     // flag (non-SQL); the oracle re-aggregates it from the per-page dump so
     // the count/sum layer is independently recomputed
