@@ -260,6 +260,14 @@ object SparkEntry {
         .groupBy("user_id").agg(sum(col("new_session")).as("n_sessions"),
           count(lit(1)).as("n_events"))
     }),
+    "ev_session_window" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // native session_window aggregation (the streamable sessionizer —
+      // EventStreamSpec proves streaming/batch parity); the oracle is the
+      // independent lag-based definition, equivalent because the corpus has
+      // no exact-gap boundaries (asserted by the oracle's guard CTE)
+      graft.streaming.EventStream.sessionCounts(t(dir, "events"), "30 minutes")
+    }),
     "ev_range_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // views within the hour before each purchase, banded range join
@@ -809,6 +817,20 @@ object SparkEntry {
            FROM (SELECT user_id, ts,
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
                  FROM events) a) b GROUP BY user_id""",
+    // independent lag-based re-derivation of session_window; the guard term
+    // poisons every row if the equivalence precondition (no exact-gap
+    // boundary) ever stops holding on the corpus, turning a silently-wrong
+    // oracle into a loud mismatch
+    "ev_session_window" ->
+      """WITH g AS (SELECT user_id, ts,
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+                    FROM events),
+              guard AS (SELECT COUNT(*) AS n FROM g WHERE ts = prev_ts + INTERVAL 1800 SECOND)
+         SELECT user_id,
+                CAST(SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 1800 SECOND
+                         THEN 1 ELSE 0 END) + (SELECT n FROM guard) * 1000000000 AS BIGINT) AS n_sessions,
+                COUNT(*) AS n_events
+         FROM g GROUP BY user_id""",
     "ev_range_join" ->
       """SELECT p.event_id, COUNT(*) AS n_views_1h
          FROM (SELECT user_id, ts, event_id FROM events WHERE event_type='purchase') p

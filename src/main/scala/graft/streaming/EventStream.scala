@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream analytics (brief §streaming: watermarks + windowed aggs,
+  * custom state via [mapG|flatMapG]roupsWithState).
+  *
+  * The aggregation definitions are ENGINE-AGNOSTIC: each takes a DataFrame
+  * that may be a batch relation or a `readStream` relation — Spark plans the
+  * same declarative agg either way (incremental with state eviction under a
+  * watermark in streaming; a plain hash/sort agg in batch). The specs
+  * exploit that: the streaming answer over a drained AvailableNow/memory
+  * stream must equal the batch answer on the same rows, and the watermark
+  * path must drop late rows exactly.
+  *
+  * Scale: windowed counts are two-phase (partial per task, merge keyed by
+  * (window, type)); session windows shuffle once by user; state store size
+  * is bounded by the watermark horizon — the properties that carry a
+  * 100 TB/day event feed.
+  */
+object EventStream {
+
+  /** Tumbling event-time window × event_type counts. With a streaming input
+    * and `delay`, state for windows older than the watermark is evicted and
+    * later-arriving rows are dropped (exactly the semantics the spec pins). */
+  def windowedTypeCounts(events: DataFrame, windowDur: String = "1 hour",
+      delay: Option[String] = None): DataFrame = {
+    val src = delay.fold(events)(d => events.withWatermark("ts", d))
+    src.groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
+  }
+
+  /** One row per (user, gap-merged event-time session) via the native
+    * `session_window` aggregation. This layer is streamable in append mode
+    * (single stateful operator: sessions finalize when the watermark passes
+    * their close). Equivalent to the lag-based `ev_sessions` boundary
+    * definition whenever no two consecutive events of a user are exactly
+    * `gap` apart (the oracle pins this on the test corpus). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      delay: Option[String] = None): DataFrame = {
+    val src = delay.fold(events)(d => events.withWatermark("ts", d))
+    src.groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n_events"))
+  }
+
+  /** Batch composition: per-user session totals from [[sessionWindows]].
+    * (A second non-windowed aggregation — batch-only; a streaming consumer
+    * aggregates the append-mode session rows downstream.) */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    sessionWindows(events, gap)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+
+  /** Custom state: running per-user event count that survives across
+    * micro-batches (mapGroupsWithState, update mode). Emits the new total
+    * for every user seen in the batch. */
+  def runningUserCounts(events: Dataset[(Long, java.sql.Timestamp)])(
+      implicit spark: SparkSession): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+      }
+  }
+
+  /** Update-mode sink mode for [[runningUserCounts]]. */
+  val updateMode: OutputMode = OutputMode.Update()
+}

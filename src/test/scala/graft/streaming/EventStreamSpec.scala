@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L) // epoch-based: TZ-safe
+
+  test("windowed counts: streaming over AvailableNow == batch on the same parquet") {
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    // ts is TIMESTAMP_NTZ here → window start surfaces as LocalDateTime;
+    // compare on the stringified key (type-agnostic, exact)
+    val expected = EventStream.windowedTypeCounts(batch).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getString(1), r.getLong(2))).toSet
+
+    // the file stream source wants a directory; stage the single test file
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = EventStream.windowedTypeCounts(stream)
+      .writeStream.format("memory").queryName("wtc_complete")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("wtc_complete").collect()
+      .map(r => (String.valueOf(r.get(0)), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("watermark: windows finalize in append mode exactly once; late rows are dropped") {
+    val sq = spark.sqlContext
+    implicit val sqc: org.apache.spark.sql.SQLContext = sq
+    import sq.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = EventStream.windowedTypeCounts(df, "1 hour", delay = Some("30 minutes"))
+      .writeStream.format("memory").queryName("wtc_append").outputMode("append").start()
+
+    // batch 1: three events in hour-window [60, 120), one in [120, 180)
+    input.addData((ts(61), "view"), (ts(70), "view"), (ts(95), "click"), (ts(130), "view"))
+    q.processAllAvailable()
+    assert(spark.table("wtc_append").count() == 0, "nothing finalized before watermark moves")
+
+    // batch 2 advances the watermark past window [60,120) (wm = 300-30 = 270)
+    input.addData((ts(300), "view"))
+    q.processAllAvailable()
+    // a LATE row for the already-finalized window: must be dropped, not re-emitted
+    input.addData((ts(62), "view"))
+    q.processAllAvailable()
+    // close everything else out
+    input.addData((ts(1000), "view"))
+    q.processAllAvailable()
+    input.addData((ts(2000), "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wtc_append").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2))).toSet
+    // [60,120): view 2 (NOT 3 — the late third view was behind the watermark),
+    // click 1; [120,180): view 1; [300,360): view 1; [960,1020): view 1
+    assert(rows == Set(
+      (60L, "view", 2L), (60L, "click", 1L),
+      (120L, "view", 1L), (300L, "view", 1L), (960L, "view", 1L)))
+  }
+
+  test("session_window: streaming append sessions == batch sessions on the same rows") {
+    val sq = spark.sqlContext
+    implicit val sqc: org.apache.spark.sql.SQLContext = sq
+    import sq.implicits._
+    val events = Seq( // user 1: [10,20,45] = one session (gaps < 30m); 2nd at 200
+      (ts(10), 1L), (ts(20), 1L), (ts(45), 1L), (ts(200), 1L),
+      (ts(15), 2L), (ts(100), 2L)) // user 2: two sessions
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = EventStream.sessionWindows(df, "30 minutes", delay = Some("10 minutes"))
+      .writeStream.format("memory").queryName("sw_append").outputMode("append").start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    input.addData((ts(5000), 99L)) // advance watermark far past every session close
+    q.processAllAvailable()
+    input.addData((ts(9000), 99L))
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = EventStream.sessionWindows(
+      events.toDF("ts", "user_id"), "30 minutes").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val streamed = spark.table("sw_append").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      .filter(_._1 != 99L)
+    assert(streamed == batch)
+    assert(batch.count(_._1 == 1L) == 2 && batch.count(_._1 == 2L) == 2)
+  }
+
+  test("batch session_window counts == lag-based ev_sessions on the test corpus") {
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val viaSessionWindow = EventStream.sessionCounts(batch, "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaLag = graft.SparkEntry.queries("ev_sessions")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSessionWindow == viaLag)
+  }
+
+  test("mapGroupsWithState: running per-user counts survive across micro-batches") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val sq = spark.sqlContext
+    implicit val sqc: org.apache.spark.sql.SQLContext = sq
+    import sq.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.runningUserCounts(input.toDS())
+      .writeStream.format("memory").queryName("ruc")
+      .outputMode(EventStream.updateMode).start()
+    input.addData((1L, ts(1)), (1L, ts(2)), (2L, ts(3)))
+    q.processAllAvailable()
+    input.addData((1L, ts(4)), (3L, ts(5)))
+    q.processAllAvailable()
+    q.stop()
+    val byBatch = spark.table("ruc").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // final totals: state carried 1 -> 3 (2 then +1), 2 -> 1, 3 -> 1
+    val finalTotals = byBatch.groupBy(_._1).map { case (u, rows) => (u, rows.map(_._2).max) }
+    assert(finalTotals == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    assert(byBatch.toSet.contains((1L, 2L)) && byBatch.toSet.contains((1L, 3L)),
+      "both the batch-1 partial and the batch-2 updated total were emitted")
+  }
+}
