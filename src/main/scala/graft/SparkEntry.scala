@@ -25,6 +25,12 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-page entity cap before co-mention pair expansion (mirrored as the
+    * literal 64 in the kg_comention_triangles oracle). Far above the honest
+    * per-page entity counts of the corpus — it exists to bound the damage a
+    * link-farm page can do, not to sample. */
+  val CoMentionHubCap = 64
+
   /** Word-bigram Jaccard pairs over a bounded head sample, fully relational
     * (shingle explode + self-equi-join on shingle — never a cross product);
     * the corpus-scale path is Dedup.minhashPairs. The threshold test is
@@ -87,7 +93,16 @@ object SparkEntry {
         KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
         PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
         .localCheckpoint()
-      val a = links.as("a"); val b = links.as("b")
+      // hub cap BEFORE pair expansion (same discipline as the dedup MaxBucket
+      // fix): a page linking k entities contributes C(k,2) pairs — a
+      // link-farm page with 10^4 entities would emit 10^8 rows from one task.
+      // row_number is a map-side WindowGroupLimit; order by entity_iri makes
+      // the kept set deterministic (mirrored in the oracle).
+      val capped = links
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("url").orderBy("entity_iri")))
+        .filter(col("rn") <= CoMentionHubCap).drop("rn")
+      val a = capped.as("a"); val b = capped.as("b")
       val edges = a.join(b, col("a.url") === col("b.url") &&
           col("a.entity_iri") < col("b.entity_iri"))
         .select(col("a.entity_iri").as("src"), col("b.entity_iri").as("dst"))
@@ -621,8 +636,12 @@ object SparkEntry {
          FROM read_parquet('{OUT}/aux_mentions/*.parquet') m JOIN best b USING (alias_norm)
          GROUP BY b.entity_iri""",
     "kg_comention_triangles" ->
-      """WITH l AS (SELECT DISTINCT url, entity_iri
-                    FROM read_parquet('{OUT}/aux_links/*.parquet')),
+      """WITH l0 AS (SELECT DISTINCT url, entity_iri
+                     FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              l AS (SELECT url, entity_iri FROM (
+                      SELECT url, entity_iri,
+                             ROW_NUMBER() OVER (PARTITION BY url ORDER BY entity_iri) AS rn
+                      FROM l0) WHERE rn <= 64),
               e AS (SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
                     FROM l a JOIN l b
                     ON a.url = b.url AND a.entity_iri < b.entity_iri)
