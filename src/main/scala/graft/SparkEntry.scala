@@ -94,19 +94,10 @@ object SparkEntry {
         PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
         .localCheckpoint()
       // hub cap BEFORE pair expansion (same discipline as the dedup MaxBucket
-      // fix): a page linking k entities contributes C(k,2) pairs — a
-      // link-farm page with 10^4 entities would emit 10^8 rows from one task.
-      // row_number is a map-side WindowGroupLimit; order by entity_iri makes
-      // the kept set deterministic (mirrored in the oracle).
-      val capped = links
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("url").orderBy("entity_iri")))
-        .filter(col("rn") <= CoMentionHubCap).drop("rn")
-      val a = capped.as("a"); val b = capped.as("b")
-      val edges = a.join(b, col("a.url") === col("b.url") &&
-          col("a.entity_iri") < col("b.entity_iri"))
-        .select(col("a.entity_iri").as("src"), col("b.entity_iri").as("dst"))
-      Triangles.count(edges)
+      // fix) — Triangles.groupedPairs bounds a page's C(k,2) fan-out at
+      // C(CoMentionHubCap,2); the oracle mirrors the cap
+      Triangles.count(
+        Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap))
     }),
     "kg_link_precision_recall" -> ((s, dir) => {
       import s.implicits._

@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Co-occurrence edges from (group, member) rows — e.g. (url, entity) —
+    * with a deterministic per-group member cap applied BEFORE the pairwise
+    * self-join: a group with k members emits C(k,2) pairs, so one link-farm
+    * page with 10⁴ entities would emit 10⁸ rows from a single task. The cap
+    * is a row_number window (planned as a map-side WindowGroupLimit,
+    * `PlanQualitySpec`), ordered by member so the kept set is reproducible
+    * cross-engine. */
+  def groupedPairs(rows: DataFrame, groupCol: String, memberCol: String,
+      memberCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = rows.select(col(groupCol), col(memberCol)).distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(memberCol)))
+      .filter(col("__rn") <= memberCap).drop("__rn")
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b, col(s"a.$groupCol") === col(s"b.$groupCol") &&
+        col(s"a.$memberCol") < col(s"b.$memberCol"))
+      .select(col(s"a.$memberCol").as("src"), col(s"b.$memberCol").as("dst"))
+  }
+
   /** Canonical simple edge set: src < dst, distinct, loops dropped. */
   def canonical(edges: DataFrame): DataFrame =
     edges

@@ -30,6 +30,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("doc_tfidf_topterms truncates per-doc candidates map-side (partial WindowGroupLimit)") {
+    val plan = planOf("doc_tfidf_topterms").toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+  }
+
+  test("doc_length_quantiles does all window+agg work on one exchange") {
+    val plan = planOf("doc_length_quantiles").toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("kg_comention_triangles plans equi-joins only (no cross product)") {
+    // the full query's upstream (cap window included) materializes inside
+    // Triangles' localCheckpoint — its plan properties are locked separately
+    // on groupedPairs below
+    val plan = planOf("kg_comention_triangles").toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("Triangles.groupedPairs caps group fan-out map-side, before the self-join") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq.tabulate(300)(i => ("hub", s"m$i")).toDF("g", "m")
+    val pairs = graft.operators.Triangles.groupedPairs(rows, "g", "m", 64)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(pairs.count() == 64L * 63 / 2, "fan-out must be C(cap,2), not C(300,2)")
+  }
+
   test("no driver-contract query plans a cartesian product") {
     // every query that reads testdata tables (kg/cj/mm synthesize their own
     // input); emb_pairs_cosine's bounded-head brute force is the documented
