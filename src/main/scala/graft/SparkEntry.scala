@@ -350,6 +350,12 @@ object SparkEntry {
           max(when(col("rn") === expr("(90*n + 99) DIV 100"), col("n_chars"))).as("p90"),
           max(when(col("rn") === expr("(99*n + 99) DIV 100"), col("n_chars"))).as("p99"))
     }),
+    "doc_repetition" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // Gopher/RefinedWeb repetition-filter inputs (integer counts; the
+      // ratio thresholds live with the consumer)
+      graft.text.Repetition.stats(t(dir, "documents").select("doc_id", "text"))
+    }),
     "doc_quality_score" -> ((s, dir) => {
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -655,6 +661,27 @@ object SparkEntry {
                       PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
                     FROM scored)
          SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3""",
+    "doc_repetition" ->
+      """WITH l AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+                    FROM documents),
+              t0 AS (SELECT doc_id, unnest(toks) AS term,
+                            unnest(range(1, len(toks)+1)) AS pos FROM l),
+              t AS (SELECT * FROM t0 WHERE term <> ''),
+              tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term),
+              ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                            COUNT(*) AS n_distinct_tokens, MAX(c) AS max_tf
+                     FROM tf GROUP BY doc_id),
+              b0 AS (SELECT doc_id, term,
+                            LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                     FROM t),
+              b AS (SELECT doc_id, term || ' ' || nxt AS bigram FROM b0 WHERE nxt IS NOT NULL),
+              bs AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                            COUNT(DISTINCT bigram) AS n_distinct_bigrams
+                     FROM b GROUP BY doc_id)
+         SELECT ts.doc_id, n_tokens, n_distinct_tokens, max_tf,
+                COALESCE(n_bigrams, 0) AS n_bigrams,
+                COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams
+         FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""",
     "doc_length_quantiles" ->
       """WITH r AS (SELECT lang, n_chars,
                            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
