@@ -93,15 +93,7 @@ object Ann {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = ivfCentroids(emb, nlist, sampleN, iters)
-
-    // invert: centroid idx -> queries probing it
-    val probes: Map[Int, Vector[(Long, Array[Float])]] = queries.toVector
-      .flatMap { case (qid, qv) =>
-        cents.indices.map(ci => (TextOps.cosine(qv, cents(ci)), ci))
-          .sortBy { case (c, ci) => (-c, ci) }
-          .take(nProbe).map { case (_, ci) => (ci, (qid, qv)) }
-      }
-      .groupBy(_._1).map { case (ci, v) => (ci, v.map(_._2)) }
+    val probes = probeMap(cents, queries, nProbe)
 
     val bc = spark.sparkContext.broadcast(cents)
     val bp = spark.sparkContext.broadcast(probes)
@@ -110,13 +102,7 @@ object Ann {
         val cs = bc.value
         val pm = bp.value
         it.flatMap { case (id, v) =>
-          var best = 0; var bestC = Double.MinValue
-          var ci = 0
-          while (ci < cs.length) {
-            val c = TextOps.cosine(v, cs(ci))
-            if (c > bestC) { bestC = c; best = ci }
-            ci += 1
-          }
+          val best = assign(cs, v)
           pm.getOrElse(best, Vector.empty).collect {
             case (qid, qv) if qid != id => Scored(qid, id, TextOps.cosine(qv, v))
           }
@@ -165,6 +151,88 @@ object Ann {
       iter += 1
     }
     cents
+  }
+
+  /** Invert: centroid idx -> queries probing it (each query probes its
+    * nProbe nearest centroids; deterministic tie-break on centroid index). */
+  private def probeMap(cents: Array[Array[Float]], queries: Array[(Long, Array[Float])],
+      nProbe: Int): Map[Int, Vector[(Long, Array[Float])]] =
+    queries.toVector
+      .flatMap { case (qid, qv) =>
+        cents.indices.map(ci => (TextOps.cosine(qv, cents(ci)), ci))
+          .sortBy { case (c, ci) => (-c, ci) }
+          .take(nProbe).map { case (_, ci) => (ci, (qid, qv)) }
+      }
+      .groupBy(_._1).map { case (ci, v) => (ci, v.map(_._2)) }
+
+  /** Nearest-centroid assignment, identical tie-break to the fused scan in
+    * [[ivfTopK]] (first index wins on equal cosine). */
+  private def assign(cs: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0; var bestC = Double.MinValue
+    var ci = 0
+    while (ci < cs.length) {
+      val c = TextOps.cosine(v, cs(ci))
+      if (c > bestC) { bestC = c; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Materialize the IVF index: vectors written as parquet PARTITIONED BY
+    * their inverted-list id (`indexDir/data/list=<i>/…`), centroids beside
+    * them (`indexDir/centroids`). This is the 100 TB form of [[ivfTopK]]'s
+    * fused assignment: the list id becomes a storage partition column, so a
+    * probe reads only `nProbe` of `nlist` directories — partition pruning at
+    * the file index, before any I/O ([[ivfSearchIndex]]; `AnnIndexSpec`
+    * locks `PartitionFilters` in the scan). Assignment is one narrow pass;
+    * the write shuffles nothing (partitionBy fans out within each task). */
+  def buildIvfIndex(emb: DataFrame, indexDir: String, nlist: Int = 16,
+      sampleN: Int = 2048, iters: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(emb, nlist, sampleN, iters)
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (assign(cs, v), id, v) }
+      }
+      .toDF("list", "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/data")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Probe a materialized IVF index: same results as [[ivfTopK]] with the
+    * same parameters, but the candidate read is partition-pruned to the
+    * probed lists instead of scanning and re-assigning every vector. */
+  def ivfSearchIndex(spark: SparkSession, indexDir: String,
+      queries: Array[(Long, Array[Float])], k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select("list", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val probes = probeMap(cents, queries, nProbe)
+    val probedLists = probes.keys.toSeq.sorted
+    val bp = spark.sparkContext.broadcast(probes)
+    val partials = spark.read.parquet(s"$indexDir/data")
+      .filter(col("list").isin(probedLists: _*)) // prunes list=<i> directories
+      .select(col("list"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        val pm = bp.value
+        it.flatMap { case (list, id, v) =>
+          pm.getOrElse(list, Vector.empty).collect {
+            case (qid, qv) if qid != id => Scored(qid, id, TextOps.cosine(qv, v))
+          }
+        }
+      }
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    partials.toDF("query_id", "vec_id", "cosine")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Convenience: the first q vectors of the table as the query set. */
