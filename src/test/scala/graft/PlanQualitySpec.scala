@@ -59,12 +59,10 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("no driver-contract query plans a cartesian product") {
-    // every query that reads testdata tables (kg/cj/mm synthesize their own
-    // input); emb_pairs_cosine's bounded-head brute force is the documented
-    // exception (nested-loop on 120 rows by design)
+    // ALL queries; emb_pairs_cosine's bounded-head brute force is the
+    // documented exception (nested-loop on 120 rows by design)
     val exceptions = Set("emb_pairs_cosine")
     SparkEntry.queries.keys
-      .filter(n => n.startsWith("q_") || n.startsWith("ev_") || n.startsWith("doc_"))
       .filterNot(exceptions)
       .foreach { name =>
         val plan = planOf(name).toString

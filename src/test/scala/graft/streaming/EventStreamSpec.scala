@@ -108,6 +108,28 @@ class EventStreamSpec extends SparkTestBase {
     assert(viaSessionWindow == viaLag)
   }
 
+  test("streaming exact dedup: duplicate doc_ids across micro-batches emit once") {
+    // the streaming form of Dedup.exactKeep for a crawl feed: state-backed
+    // dropDuplicates; re-crawled ids in later batches are suppressed
+    val sq = spark.sqlContext
+    implicit val sqc: org.apache.spark.sql.SQLContext = sq
+    import sq.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = input.toDF().toDF("doc_id", "ts", "text")
+      .dropDuplicates("doc_id")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    input.addData((1L, ts(1), "a"), (2L, ts(2), "b"), (1L, ts(3), "a-dup"))
+    q.processAllAvailable()
+    input.addData((2L, ts(4), "b-recrawl"), (3L, ts(5), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sdedup").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.length == 3, s"one row per distinct doc_id: ${rows.toSeq}")
+    assert(rows.toMap == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+      "first-seen wins; the batch-2 recrawl of id 2 is suppressed by state")
+  }
+
   test("mapGroupsWithState: running per-user counts survive across micro-batches") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val sq = spark.sqlContext
