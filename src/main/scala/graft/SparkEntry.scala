@@ -552,6 +552,16 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.resize(Multimodal.syntheticMedia(s, 500), 32, 32))
         .groupBy("kind").agg(count(lit(1)).as("n_media"),
           sum(when(col("width") === 32 && col("height") === 32, 1L).otherwise(0L)).as("n_at_target"))
+    }),
+    "mm_features" -> ((s, dir) => {
+      // feature extraction over the real image codec (pixel luminance) and
+      // the stub containers (byte histogram); per-kind vector stats
+      val media = Multimodal.syntheticMedia(s, 500)
+      Multimodal.features(media)
+        .join(media.select("media_id", "kind"), "media_id")
+        .select(col("kind"), element_at(col("feature"), 16).as("top_bucket"))
+        .groupBy("kind").agg(count(lit(1)).as("n_media"),
+          round(avg(col("top_bucket")), 4).as("avg_top_bucket_mass"))
     })
   )
 
