@@ -67,6 +67,8 @@ class PlanQualitySpec extends SparkTestBase {
       .foreach { name =>
         val plan = planOf(name).toString
         assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a broadcast nested-loop join (non-equi join leaked in)")
       }
   }
 }
