@@ -611,6 +611,26 @@ object SparkEntry {
     "aux_simhashes" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.simhashes(t(dir, "documents"))
+    }),
+    // LSH bucket assignment (frozen hyperplane hash, spec-locked) + the
+    // multi-probe set of the head queries: the emb_knn_lsh oracle re-derives
+    // candidate join, scoring, and ranking from these in DuckDB
+    "aux_emb_buckets" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      t(dir, "embeddings").select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions(_.map { case (id, v) => (id, TextOps.hyperplaneBucket(v, 10)) })
+        .toDF("vec_id", "bucket")
+    }),
+    "aux_emb_probes" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val probes = Ann.headQueries(t(dir, "embeddings"), 20).toSeq.flatMap { case (qid, qv) =>
+        val b = TextOps.hyperplaneBucket(qv, 10)
+        (b +: (0 until 10).map(i => b ^ (1 << i))).distinct.map(pb => (qid, pb))
+      }
+      probes.toDF("query_id", "probe_bucket")
     })
   )
 
@@ -977,6 +997,23 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE a.vec_id < 120 AND b.vec_id < 120
            AND list_cosine_similarity(a.embedding, b.embedding) >= 0.357""",
+    // candidate set from the dumped bucket/probe assignments; scoring and
+    // ranking re-derived in DuckDB (same list_cosine_similarity ordering
+    // contract as emb_knn_brute — the cosine itself never leaves the engine)
+    "emb_knn_lsh" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 20),
+              vb AS (SELECT vec_id, bucket FROM read_parquet('{OUT}/aux_emb_buckets/*.parquet')),
+              pb AS (SELECT query_id, probe_bucket FROM read_parquet('{OUT}/aux_emb_probes/*.parquet')),
+              cand AS (SELECT DISTINCT pb.query_id, vb.vec_id
+                       FROM pb JOIN vb ON vb.bucket = pb.probe_bucket
+                       WHERE vb.vec_id <> pb.query_id),
+              scored AS (SELECT c.query_id, c.vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                             ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                      c.vec_id ASC) AS rank
+                         FROM cand c JOIN q ON q.qid = c.query_id
+                                     JOIN embeddings e ON e.vec_id = c.vec_id)
+         SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5""",
     "emb_knn_brute" ->
       """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings ORDER BY vec_id LIMIT 20)
          SELECT qid AS query_id, vec_id, rank FROM (
