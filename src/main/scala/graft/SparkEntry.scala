@@ -631,6 +631,17 @@ object SparkEntry {
         (b +: (0 until 10).map(i => b ^ (1 << i))).distinct.map(pb => (qid, pb))
       }
       probes.toDF("query_id", "probe_bucket")
+    }),
+    // IVF analog of the LSH dumps (same frozen-assignment + re-derived-join
+    // oracle pattern; centroids deterministic, parameters = emb_knn_ivf's)
+    "aux_ivf_lists" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Ann.listAssignments(t(dir, "embeddings"))
+    }),
+    "aux_ivf_probes" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Ann.queryProbes(emb, Ann.headQueries(emb, 20))
     })
   )
 
@@ -997,6 +1008,27 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE a.vec_id < 120 AND b.vec_id < 120
            AND list_cosine_similarity(a.embedding, b.embedding) >= 0.357""",
+    // bucket pairs + threshold sweep re-derived from the bucket dump; the
+    // float comparisons are safe cross-engine because every cosine sits
+    // >= 7e-4 from the nearest threshold on this corpus (measured), six
+    // orders of magnitude beyond any accumulation-order divergence
+    "emb_dedup_cosine" ->
+      """WITH vb AS (SELECT vec_id, bucket FROM read_parquet('{OUT}/aux_emb_buckets/*.parquet')),
+              capped AS (SELECT vec_id, bucket FROM (
+                SELECT vec_id, bucket,
+                       ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+                FROM vb) WHERE rn <= 1000),
+              p AS (SELECT a.vec_id AS va, b.vec_id AS vbb
+                    FROM capped a JOIN capped b
+                    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              c AS (SELECT list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+                    FROM p JOIN embeddings ea ON ea.vec_id = p.va
+                           JOIN embeddings eb ON eb.vec_id = p.vbb)
+         SELECT COUNT(*) AS bucket_pairs,
+                CAST(SUM(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS ge_050,
+                CAST(SUM(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS ge_080,
+                CAST(SUM(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS ge_095
+         FROM c WHERE cos >= 0.0""",
     // candidate set from the dumped bucket/probe assignments; scoring and
     // ranking re-derived in DuckDB (same list_cosine_similarity ordering
     // contract as emb_knn_brute — the cosine itself never leaves the engine)
@@ -1007,6 +1039,20 @@ object SparkEntry {
               cand AS (SELECT DISTINCT pb.query_id, vb.vec_id
                        FROM pb JOIN vb ON vb.bucket = pb.probe_bucket
                        WHERE vb.vec_id <> pb.query_id),
+              scored AS (SELECT c.query_id, c.vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                             ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                      c.vec_id ASC) AS rank
+                         FROM cand c JOIN q ON q.qid = c.query_id
+                                     JOIN embeddings e ON e.vec_id = c.vec_id)
+         SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5""",
+    "emb_knn_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 20),
+              vl AS (SELECT vec_id, list FROM read_parquet('{OUT}/aux_ivf_lists/*.parquet')),
+              pl AS (SELECT query_id, probe_list FROM read_parquet('{OUT}/aux_ivf_probes/*.parquet')),
+              cand AS (SELECT DISTINCT pl.query_id, vl.vec_id
+                       FROM pl JOIN vl ON vl.list = pl.probe_list
+                       WHERE vl.vec_id <> pl.query_id),
               scored AS (SELECT c.query_id, c.vec_id,
                            ROW_NUMBER() OVER (PARTITION BY c.query_id
                              ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,

@@ -178,6 +178,32 @@ object Ann {
     best
   }
 
+  /** Deterministic (vec_id, list) assignment table — the IVF analog of an
+    * LSH bucket dump; oracles re-derive the candidate join + ranking from
+    * this. Same centroids as [[ivfTopK]] with equal parameters. */
+  def listAssignments(emb: DataFrame, nlist: Int = 16, sampleN: Int = 2048,
+      iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ivfCentroids(emb, nlist, sampleN, iters))
+    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, assign(cs, v)) }
+      }.toDF("vec_id", "list")
+  }
+
+  /** Deterministic (query_id, probe_list) table for a query set. */
+  def queryProbes(emb: DataFrame, queries: Array[(Long, Array[Float])],
+      nProbe: Int = 4, nlist: Int = 16, sampleN: Int = 2048, iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(emb, nlist, sampleN, iters)
+    probeMap(cents, queries, nProbe).toSeq
+      .flatMap { case (list, qs) => qs.map { case (qid, _) => (qid, list) } }
+      .toDF("query_id", "probe_list")
+  }
+
   /** Materialize the IVF index: vectors written as parquet PARTITIONED BY
     * their inverted-list id (`indexDir/data/list=<i>/…`), centroids beside
     * them (`indexDir/centroids`). This is the 100 TB form of [[ivfTopK]]'s
