@@ -350,6 +350,26 @@ object SparkEntry {
           max(when(col("rn") === expr("(90*n + 99) DIV 100"), col("n_chars"))).as("p90"),
           max(when(col("rn") === expr("(99*n + 99) DIV 100"), col("n_chars"))).as("p99"))
     }),
+    "doc_pack_shards" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // GPT-style sequence packing: per language, documents are concatenated
+      // in doc_id order into one token stream chopped into fixed-capacity
+      // shards (docs may straddle a boundary; shard_id/shard_offset locate
+      // the start). Pure window prefix-sum + integer division — deterministic
+      // and engine-exact. At corpus scale the partition key is the
+      // (bounded-cardinality) curation group, so no global single-task sort.
+      val cap = 4096L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t(dir, "documents").select(
+          col("doc_id"), col("lang"),
+          when(length(trim(col("text"))) === 0, 0L)
+            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+        .withColumn("cum_before",
+          coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr(s"cum_before DIV $cap").as("shard_id"),
+          (col("cum_before") % cap).as("shard_offset"))
+    }),
     "doc_repetition" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // Gopher/RefinedWeb repetition-filter inputs (integer counts; the
@@ -702,6 +722,19 @@ object SparkEntry {
                       PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
                     FROM scored)
          SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3""",
+    "doc_pack_shards" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           CASE WHEN trim(text)='' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                    FROM documents),
+              c AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                    FROM t)
+         SELECT doc_id, lang, n_tokens,
+                cum_before // 4096 AS shard_id,
+                cum_before % 4096 AS shard_offset
+         FROM c""",
     "doc_repetition" ->
       """WITH l AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
                     FROM documents),
