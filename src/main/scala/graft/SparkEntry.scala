@@ -389,17 +389,21 @@ object SparkEntry {
     "doc_curation" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // canonical curation flow: exact-dedup keep + length + punct-ratio
-      // gates, with a reject reason per document
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      // gates, with a reject reason per document. The text-derived features
+      // are projected in a narrow pass BEFORE the dedup window so only the
+      // 32-byte digest and two ints cross the exchange — windowing the raw
+      // rows would multiply shuffle bytes by the document size at 100 TB.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("text_md5")
       t(dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          length(col("text")).as("n_chars"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"))
         .withColumn("canonical", col("doc_id") === min("doc_id").over(w))
-        .withColumn("n_punct",
-          length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
         .select(
           col("doc_id"),
           when(!col("canonical"), "duplicate")
-            .when(length(col("text")) < 100, "too_short")
-            .when(col("n_punct") * 10 > length(col("text")), "punct_heavy")
+            .when(col("n_chars") < 100, "too_short")
+            .when(col("n_punct") * 10 > col("n_chars"), "punct_heavy")
             .otherwise("keep").as("verdict"))
     }),
     "doc_split_md5" -> ((s, dir) => {
@@ -554,8 +558,11 @@ object SparkEntry {
     }),
     "cj_log_categories" -> ((s, dir) => {
       // the CLI's per-category log dedup (Main.cpp:63-65) as a relational op
+      // dedup on (level, category) — matches the oracle's DISTINCT exactly;
+      // a category-only dedup would keep a nondeterministic level if a
+      // category string ever appeared at two levels
       graft.cj.CjSpark.convertLogs(graft.cj.CjSpark.referenceCorpus(s))
-        .dropDuplicates("category")
+        .dropDuplicates("level", "category")
         .groupBy("level").agg(count(lit(1)).as("n_categories"))
     }),
 
@@ -811,9 +818,14 @@ object SparkEntry {
                FROM cand JOIN s sa ON sa.doc_id = doc_a
                          JOIN s sb ON sb.doc_id = doc_b AND sb.shingle_hash = sa.shingle_hash
                GROUP BY doc_a, doc_b)
-         SELECT i.doc_a, i.doc_b
-         FROM i JOIN n na ON na.doc_id = i.doc_a JOIN n nb ON nb.doc_id = i.doc_b
-         WHERE i.ni * 10 >= (na.n + nb.n - i.ni) * 3""",
+         SELECT c.doc_a, c.doc_b
+         FROM cand c
+         LEFT JOIN i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         LEFT JOIN n na ON na.doc_id = c.doc_a
+         LEFT JOIN n nb ON nb.doc_id = c.doc_b
+         WHERE (COALESCE(na.n, 0) = 0 AND COALESCE(nb.n, 0) = 0)
+            OR COALESCE(i.ni, 0) * 10 >=
+               (COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.ni, 0)) * 3""",
     "doc_simhash_pairs" ->
       """WITH s AS (SELECT doc_id, simhash FROM read_parquet('{OUT}/aux_simhashes/*.parquet')),
          b AS (SELECT doc_id, simhash, t.band, (simhash >> (16 * t.band)) & 65535 AS key

@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   * (key), and a running `last(right_payload, ignoreNulls)` window carries
   * each right row forward to the left rows that follow it in time. No range
   * cross-product, no per-key collect — at 100 TB this is a single
-  * hash-partitioned sort per side, and skewed keys fall under the same AQE
-  * handling as any window.
+  * hash-partitioned sort per side. Skew caveat: AQE skew mitigation splits
+  * shuffle JOIN partitions, not window exchanges — a key with 10⁸ events is
+  * one window task here. The task is still memory-safe (the running-last
+  * frame holds one row and the sort spills; `AsofJoinSpec` pins a planted
+  * 10⁶-event hot key), but it serializes that key's wall-clock; for
+  * pathological keys, sub-bucket by time range and merge each bucket's last
+  * carried row forward.
   *
   * Tie semantics: a right row at exactly `leftTs` matches (<=); among right
   * rows sharing a timestamp the greatest payload struct wins
@@ -54,11 +59,14 @@ object AsofJoin {
       case Some(tol) =>
         // microsecond-exact tolerance: unix_timestamp truncates to seconds,
         // which would admit matches up to 999 ms beyond the cutoff while the
-        // rest of the engine (RangeJoin, sessions) is µs-exact
+        // rest of the engine (RangeJoin, sessions) is µs-exact. timestampdiff
+        // subtracts NTZ values in their own (naive) domain — a cast through
+        // TIMESTAMP would route via the session timezone, shifting the
+        // cutoff by the offset delta when the two sides straddle a DST
+        // transition in a non-UTC session.
         carried.withColumn("__match",
           when(col("__match").isNotNull &&
-            (unix_micros(col("__ts").cast("timestamp")) -
-              unix_micros(col(s"__match.$rightTs").cast("timestamp"))) <= tol * 1000000L,
+            expr(s"timestampdiff(MICROSECOND, __match.`$rightTs`, __ts)") <= tol * 1000000L,
             col("__match")))
       case None => carried
     }

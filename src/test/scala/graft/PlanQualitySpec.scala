@@ -58,6 +58,47 @@ class PlanQualitySpec extends SparkTestBase {
     assert(pairs.count() == 64L * 63 / 2, "fan-out must be C(cap,2), not C(300,2)")
   }
 
+  test("doc_curation's dedup exchange carries digest + ints, never document text") {
+    val plan = SparkEntry.queries("doc_curation")(spark, sfDir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, plan.toString)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"curation exchange shuffles the raw text column: $names")
+    }
+  }
+
+  // the dedup bucket caps must stay map-side (a Partial WindowGroupLimit
+  // below the exchange): a regression that reorders the cap behind the
+  // shuffle re-opens the full-bucket materialization window at 100 TB
+  test("Dedup.candidatePairs caps LSH buckets map-side, before the exchange") {
+    val plan = graft.dedup.Dedup.candidatePairs(
+      graft.dedup.Dedup.minhashBands(
+        spark.read.parquet(s"$sfDir/documents.parquet")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+  }
+
+  test("Dedup.simhashPairs caps LSH buckets map-side, before the exchange") {
+    val plan = graft.dedup.Dedup.simhashPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet"), maxHamming = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+  }
+
+  test("Dedup.embeddingPairs caps LSH buckets map-side, before the exchange") {
+    val plan = graft.dedup.Dedup.embeddingPairs(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+  }
+
   test("no driver-contract query plans a cartesian product") {
     // ALL queries; emb_pairs_cosine's bounded-head brute force is the
     // documented exception (nested-loop on 120 rows by design)

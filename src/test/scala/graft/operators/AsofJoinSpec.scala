@@ -51,6 +51,42 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out("Lpast") == null)
   }
 
+  test("tolerance arithmetic is timezone-independent on NTZ inputs (DST straddle)") {
+    val sps = spark; import sps.implicits._
+    // NTZ wall-clock times straddling the US spring-forward gap: naive diff
+    // between 01:30 and 03:30 local is 2 h; an instant diff in a DST session
+    // (01:30 EST -> 03:30 EDT) is only 1 h. With a 1.5 h tolerance the match
+    // must be dropped — a cast through the session timezone would keep it.
+    val before = java.time.LocalDateTime.of(2024, 3, 10, 1, 30, 0)
+    val after = java.time.LocalDateTime.of(2024, 3, 10, 3, 30, 0)
+    val left = Seq((1L, after, "L")).toDF("k", "t", "lv")
+    val right = Seq((1L, before, "R")).toDF("k", "t", "rv")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val out = AsofJoin.backward(left, right, "k", "t", "t", Seq("rv"),
+        toleranceSec = Some(5400)).collect()
+      assert(out.length == 1 && out.head.getAs[String]("asof_rv") == null,
+        "2h-naive-old match must fall outside the 1.5h tolerance regardless of session tz")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("a planted 1M-event hot key completes within one window task (skew bound)") {
+    val sps = spark; import sps.implicits._
+    // AQE does not split window exchanges, so a hot key is one task; the
+    // operator's running-last frame holds a single row and the sort spills —
+    // this pins the documented memory bound with a 10⁶-event key.
+    val r2 = spark.range(1000000L).selectExpr("1L AS k",
+      "timestamp_micros(1704067200000000 + id * 1000000) AS t", "id AS rid")
+    val l2 = spark.range(1000L).selectExpr("1L AS k",
+      "timestamp_micros(1704067200000000 + (id * 1000 + 500) * 1000000) AS t", "id AS lid")
+    val out = AsofJoin.backward(l2, r2, "k", "t", "t", Seq("rid"))
+      .select("lid", "asof_rid").collect()
+    assert(out.length == 1000)
+    // left at t = lid*1000 + 500 s -> latest right is rid = lid*1000 + 500
+    out.foreach(r => assert(r.getLong(1) == r.getLong(0) * 1000 + 500, r.toString))
+  }
+
   test("as-of join agrees with a brute-force computation on events data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val purchases = ev.filter("event_type = 'purchase'")
