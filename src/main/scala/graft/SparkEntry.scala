@@ -842,16 +842,30 @@ object SparkEntry {
            CAST(SUM(CASE WHEN n > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_buckets,
            CAST(SUM(CASE WHEN n > 1000 THEN n * (n - 1) // 2 - 499500 ELSE 0 END) AS BIGINT) AS dropped_candidate_pairs
          FROM b""",
+    // sf-keyed frozen oracles ({SF} = the sweep's scale directory name,
+    // substituted by Verify): a sweep at a scale with no frozen fixture
+    // fails loudly at read_parquet instead of as a fake hash mismatch
     "doc_simhash" ->
-      "SELECT * FROM read_parquet('/root/repo/golden/frozen/doc_simhash.parquet')",
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/{SF}/doc_simhash.parquet')",
     "doc_fingerprint" ->
-      "SELECT * FROM read_parquet('/root/repo/golden/frozen/doc_fingerprint.parquet')",
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/{SF}/doc_fingerprint.parquet')",
     "doc_split_hash64" ->
-      "SELECT * FROM read_parquet('/root/repo/golden/frozen/doc_split_hash64.parquet')",
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/{SF}/doc_split_hash64.parquet')",
     "doc_langid" ->
-      "SELECT * FROM read_parquet('/root/repo/golden/frozen/doc_langid.parquet')",
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/{SF}/doc_langid.parquet')",
     "doc_quality_score" ->
-      "SELECT * FROM read_parquet('/root/repo/golden/frozen/doc_quality_score.parquet')",
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/{SF}/doc_quality_score.parquet')",
+    // the mm_* codec queries run on a fixed 500-blob synthetic input
+    // (sf-independent), so their frozen fixtures live under common/; DuckDB
+    // never decodes a PNG/WAV/AVI — it only compares the frozen table
+    "mm_decode_meta" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/common/mm_decode_meta.parquet')",
+    "mm_features" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/common/mm_features.parquet')",
+    "mm_frame_sample" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/common/mm_frame_sample.parquet')",
+    "mm_resize" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/common/mm_resize.parquet')",
     "emb_label_knn_purity" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS q_label
                     FROM embeddings ORDER BY vec_id LIMIT 50),

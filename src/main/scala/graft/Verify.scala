@@ -45,8 +45,11 @@ object Verify {
       case c => c.toString
     } + "\""
     val outAbs = new java.io.File(outDir).getAbsolutePath
+    // {SF} keys the frozen-value oracles by sweep scale (golden/frozen/<sf>/)
+    val sfName = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs).replace("{SF}", sfName))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -8,21 +8,31 @@ import graft.util.Rng
   * with typed metadata. The Spark-side plumbing — schema, batching,
   * partitioning, operator signatures — is real throughout.
   *
-  * Codec layer: IMAGES are REAL (JDK `javax.imageio`, headless-safe —
-  * PNG/JPEG/BMP/GIF decode, nearest-neighbor pixel resampling with pure
-  * integer math, luminance features from actual pixels). Audio/video codecs
-  * do not exist in the JDK, so those kinds remain behind the deterministic
-  * fake container (`GRFT` header) — the swap-in point for an FFmpeg-style
-  * binding is [[decode]], one function.
+  * Codec layer:
+  *  - IMAGES are REAL: JDK `javax.imageio` (headless-safe) decodes
+  *    PNG/JPEG/BMP/GIF; nearest-neighbor resampling uses pure integer
+  *    source-index math; features come from actual pixel luminance.
+  *  - AUDIO metadata is REAL: blobs are canonical PCM WAV and are parsed
+  *    back through `javax.sound.sampled.AudioSystem` (sample rate, channel
+  *    count, frame length straight from the JDK codec); audio features read
+  *    the decoded PCM samples.
+  *  - VIDEO rides a REAL container format (minimal AVI/RIFF with a
+  *    spec-shaped `avih` header) parsed by a pure RIFF chunk walk — only
+  *    the FRAME PIXEL DECODE is stubbed (no video codec exists in the JDK);
+  *    [[sampleFrames]] slices the `movi` payload into frame-sized chunks at
+  *    the positions a real decoder would read. The swap-in point for an
+  *    FFmpeg-style binding is [[decode]] + [[sampleFrames]].
   */
 object Multimodal {
 
-  final case class MediaMeta(media_id: Long, kind: String, width: Int, height: Int, n_frames: Int, n_bytes: Long)
+  final case class MediaMeta(media_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, sample_rate: Int, n_channels: Int, n_bytes: Long)
   final case class MediaFeature(media_id: Long, feature: Array[Float])
   final case class Frame(media_id: Long, frame_index: Int, payload: Array[Byte])
 
-  /** synthetic container (audio/video stand-in):
-    * magic "GRFT" + kind byte + width/height/frames (LE ints) */
+  /** legacy synthetic container (pre-round-3 stand-in):
+    * magic "GRFT" + kind byte + width/height/frames (LE ints). Still decoded
+    * for backwards compatibility; no longer produced. */
   private val Magic = Array[Byte]('G', 'R', 'F', 'T')
 
   def encodeFake(kind: String, width: Int, height: Int, frames: Int, payload: Array[Byte]): Array[Byte] = {
@@ -39,6 +49,16 @@ object Multimodal {
       (bytes(0) == 'B' && bytes(1) == 'M') ||                 // BMP
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'))
 
+  private def fourcc(bytes: Array[Byte], off: Int): String =
+    if (bytes.length < off + 4) ""
+    else new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  def isWavBlob(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "WAVE"
+
+  def isAviBlob(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI "
+
   /** REAL image decode (JDK ImageIO). Corrupt/truncated input → None. */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!isImageBlob(bytes)) None
@@ -51,47 +71,203 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Decode a blob of either family to metadata: real image formats via
-    * ImageIO, the GRFT container for (stub) audio/video. Malformed input
-    * yields None (error-isolation like every other extractor here). */
+  // ------------------------------------------------------------------ WAV
+
+  /** Canonical 44-byte PCM16 WAV around the given samples (interleaved if
+    * channels > 1). Hand-built header so the bytes are deterministic; the
+    * DECODE side goes through the real JDK codec. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio header parse via `javax.sound.sampled.AudioSystem`:
+    * (sampleRate, channels, frameLength). Malformed input → None. */
+  def decodeAudioMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, aff.getFrameLength))
+    } catch { case _: Throwable => None }
+
+  /** REAL PCM sample decode through `AudioSystem.getAudioInputStream`:
+    * the interleaved 16-bit samples, or None for non-audio input. */
+  def decodeAudioSamples(bytes: Array[Byte]): Option[Array[Short]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = in.readAllBytes(); in.close()
+      val out = new Array[Short](raw.length / 2)
+      val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+      Some(out)
+    } catch { case _: Throwable => None }
+
+  // ------------------------------------------------------------------ AVI
+
+  /** Minimal spec-shaped AVI: RIFF('AVI ') { LIST('hdrl'){ avih(56) },
+    * LIST('movi'){ '00dc'(payload) } }. The `avih` main header carries the
+    * real dwTotalFrames/dwWidth/dwHeight a demuxer reads
+    * (dwMicroSecPerFrame fixed at 40000 = 25 fps). */
+  def encodeAvi(width: Int, height: Int, frames: Int, payload: Array[Byte]): Array[Byte] = {
+    val avihData = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40000)       // dwMicroSecPerFrame (25 fps)
+      b.putInt(0)           // dwMaxBytesPerSec
+      b.putInt(0)           // dwPaddingGranularity
+      b.putInt(0)           // dwFlags
+      b.putInt(frames)      // dwTotalFrames
+      b.putInt(0)           // dwInitialFrames
+      b.putInt(1)           // dwStreams
+      b.putInt(0)           // dwSuggestedBufferSize
+      b.putInt(width)       // dwWidth
+      b.putInt(height)      // dwHeight
+      b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0) // dwReserved[4]
+      b.array()
+    }
+    val hdrlLen = 4 + (8 + avihData.length)          // 'hdrl' + avih chunk
+    val moviPayload = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+    val moviLen = 4 + (8 + moviPayload.length)       // 'movi' + 00dc chunk
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)  // 'AVI ' + two LISTs
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(riffLen).put("AVI ".getBytes)
+    bb.put("LIST".getBytes).putInt(hdrlLen).put("hdrl".getBytes)
+    bb.put("avih".getBytes).putInt(avihData.length).put(avihData)
+    bb.put("LIST".getBytes).putInt(moviLen).put("movi".getBytes)
+    bb.put("00dc".getBytes).putInt(moviPayload.length).put(moviPayload)
+    bb.array()
+  }
+
+  /** Pure RIFF chunk walk: finds the `avih` main header inside LIST('hdrl')
+    * and returns (width, height, totalFrames). Truncated/malformed RIFF →
+    * None (every read is bounds-checked). */
+  def decodeAviMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!isAviBlob(bytes)) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def walk(off: Int, end: Int): Option[(Int, Int, Int)] = {
+      var o = off
+      while (o + 8 <= end) {
+        val id = fourcc(bytes, o)
+        val len = bb.getInt(o + 4)
+        if (len < 0 || o + 8 + len > end) return None
+        if (id == "LIST" && len >= 4) {
+          val listType = fourcc(bytes, o + 8)
+          if (listType == "hdrl") {
+            val r = walk(o + 12, o + 8 + len)
+            if (r.isDefined) return r
+          }
+        } else if (id == "avih" && len >= 40) {
+          val frames = bb.getInt(o + 8 + 16)
+          val w = bb.getInt(o + 8 + 32)
+          val h = bb.getInt(o + 8 + 36)
+          return Some((w, h, frames))
+        }
+        o += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      None
+    }
+    val riffLen = bb.getInt(4)
+    if (riffLen < 4 || 8 + riffLen > bytes.length) None
+    else walk(12, math.min(bytes.length, 8 + riffLen))
+  }
+
+  /** The movi payload (first '00dc' chunk inside LIST('movi')) — the bytes
+    * a frame decoder would consume. */
+  def aviPayload(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (!isAviBlob(bytes)) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def walk(off: Int, end: Int): Option[Array[Byte]] = {
+      var o = off
+      while (o + 8 <= end) {
+        val id = fourcc(bytes, o)
+        val len = bb.getInt(o + 4)
+        if (len < 0 || o + 8 + len > end) return None
+        if (id == "LIST" && len >= 4 && fourcc(bytes, o + 8) == "movi") {
+          val r = walk(o + 12, o + 8 + len)
+          if (r.isDefined) return r
+        } else if (id == "00dc") {
+          return Some(java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + len))
+        }
+        o += 8 + len + (len & 1)
+      }
+      None
+    }
+    val riffLen = bb.getInt(4)
+    if (riffLen < 4 || 8 + riffLen > bytes.length) None
+    else walk(12, math.min(bytes.length, 8 + riffLen))
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  /** Decode a blob of any supported family to metadata: real image formats
+    * via ImageIO, WAV via the JDK sound API, AVI via the RIFF walk, and the
+    * legacy GRFT container. Malformed input yields None (error-isolation
+    * like every other extractor here). */
   def decode(bytes: Array[Byte]): Option[MediaMeta] = {
     if (bytes == null) return None
     if (isImageBlob(bytes))
       return decodeImage(bytes).map(img =>
-        MediaMeta(-1, "image", img.getWidth, img.getHeight, 1, bytes.length.toLong))
+        MediaMeta(-1, "image", img.getWidth, img.getHeight, 1, 0, 0, bytes.length.toLong))
+    if (isWavBlob(bytes))
+      return decodeAudioMeta(bytes).map { case (rate, ch, frames) =>
+        MediaMeta(-1, "audio", 0, 0, frames, rate, ch, bytes.length.toLong) }
+    if (isAviBlob(bytes))
+      return decodeAviMeta(bytes).map { case (w, h, frames) =>
+        MediaMeta(-1, "video", w, h, frames, 0, 0, bytes.length.toLong) }
     if (bytes.length < 17 || !bytes.take(4).sameElements(Magic)) return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.position(4)
     val kind = bb.get().toChar match {
       case 'i' => "image"; case 'a' => "audio"; case 'v' => "video"; case _ => "unknown"
     }
-    Some(MediaMeta(-1, kind, bb.getInt(), bb.getInt(), bb.getInt(), bytes.length.toLong))
+    Some(MediaMeta(-1, kind, bb.getInt(), bb.getInt(), bb.getInt(), 0, 0, bytes.length.toLong))
   }
 
   /** Backwards-compatible alias (pre-ImageIO name). */
   def decodeStub(bytes: Array[Byte]): Option[MediaMeta] = decode(bytes)
 
   /** deterministic synthetic media table: (media_id, kind, blob). Image rows
-    * are REAL PNGs (deterministic pixels); audio/video are GRFT containers. */
+    * are REAL PNGs, audio rows REAL PCM WAVs, video rows real minimal AVIs
+    * (deterministic pixels/samples/payloads). */
   def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
       val rng = Rng.at(0xABCL, i)
       val kind = Vector("image", "audio", "video")(rng.nextInt(3))
       val w = 16 + rng.nextInt(64); val h = 16 + rng.nextInt(64)
-      if (kind == "image") {
-        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, rng.nextInt(0x1000000)); x += 1 }
-          y += 1
-        }
-        (i, kind, encodePng(img))
-      } else {
-        val frames = if (kind == "video") 1 + rng.nextInt(30) else 1
-        val payload = Array.fill((w * h / 8) max 16)(rng.nextLong().toByte)
-        (i, kind, encodeFake(kind, w, h, frames, payload))
+      kind match {
+        case "image" =>
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rng.nextInt(0x1000000)); x += 1 }
+            y += 1
+          }
+          (i, kind, encodePng(img))
+        case "audio" =>
+          val rate = Vector(8000, 16000, 22050, 44100)(rng.nextInt(4))
+          val channels = 1 + rng.nextInt(2)
+          val frames = 64 + rng.nextInt(1024)
+          val samples = Array.fill(frames * channels)(rng.nextInt(65536).toShort)
+          (i, kind, encodeWav(rate, channels, samples))
+        case _ =>
+          val frames = 1 + rng.nextInt(30)
+          val payload = Array.fill((w * h / 8) max 16)(rng.nextLong().toByte)
+          (i, kind, encodeAvi(w, h, frames, payload))
       }
     }).toDF("media_id", "kind", "blob")
   }
@@ -107,8 +283,9 @@ object Multimodal {
   }
 
   /** Feature vector per blob (fixed 16-dim batch shape, L1-normalized):
-    * REAL pixel-luminance histogram for images; byte histogram for the
-    * stubbed audio/video containers. */
+    * REAL pixel-luminance histogram for images, REAL decoded-PCM amplitude
+    * histogram for audio, payload byte histogram for video (frame decode is
+    * the one stubbed step) and unknown blobs. */
   def features(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -131,7 +308,14 @@ object Multimodal {
               y += 1
             }
           case None =>
-            blob.foreach(b => hist((b & 0xff) >> 4) += 1f)
+            (if (isWavBlob(blob)) decodeAudioSamples(blob) else None) match {
+              case Some(samples) =>
+                // amplitude histogram over the REAL decoded samples
+                samples.foreach(s => hist((s + 32768) >> 12) += 1f)
+              case None =>
+                val payload = aviPayload(blob).getOrElse(blob)
+                payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
+            }
         }
         val s = hist.sum
         if (s > 0) { var i = 0; while (i < 16) { hist(i) /= s; i += 1 } }
@@ -158,10 +342,11 @@ object Multimodal {
   }
 
   /** resize to (w, h): REAL nearest-neighbor resample + PNG re-encode for
-    * image blobs; for the stubbed containers, the header is re-encoded with
-    * the target dimensions and the payload resampled to the proportional
-    * byte budget. Undecodable blobs are dropped, mirroring decodeMeta's
-    * error isolation. */
+    * images; for videos the AVI is re-encoded at the target dimensions with
+    * the payload resampled to the proportional byte budget (frame decode
+    * stays stubbed); audio has no spatial dimensions and passes through
+    * unchanged. Undecodable blobs are dropped, mirroring decodeMeta's error
+    * isolation. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -170,35 +355,39 @@ object Multimodal {
         decodeImage(blob) match {
           case Some(img) =>
             Some((id, "image", encodePng(resizeImage(img, w, h))))
+          case None if isWavBlob(blob) =>
+            decode(blob).map(_ => (id, "audio", blob))
           case None =>
-            decode(blob).filter(_ => blob.length >= 17).map { m =>
-              val payload = blob.drop(17)
-              val resampled = if (payload.isEmpty) payload else {
-                val outLen = math.max(16, (payload.length.toLong * (w.toLong * h) /
-                  math.max(1L, m.width.toLong * m.height)).toInt)
-                Array.tabulate(outLen) { j =>
-                  payload(((j.toLong * payload.length) / outLen).toInt)
+            decodeAviMeta(blob).flatMap { case (w0, h0, frames) =>
+              aviPayload(blob).map { payload =>
+                val resampled = if (payload.isEmpty) payload else {
+                  val outLen = math.max(16, (payload.length.toLong * (w.toLong * h) /
+                    math.max(1L, w0.toLong * h0)).toInt)
+                  Array.tabulate(outLen) { j =>
+                    payload(((j.toLong * payload.length) / outLen).toInt)
+                  }
                 }
+                (id, "video", encodeAvi(w, h, frames, resampled))
               }
-              (id, m.kind, encodeFake(m.kind, w, h, m.n_frames, resampled))
             }
         }
       }).toDF("media_id", "kind", "blob")
   }
 
   /** frame sampling for video blobs: every `stride`-th fixed-size chunk of
-    * the payload stands in for a decoded frame (video codecs stay stubbed —
-    * none exist in the JDK). */
+    * the movi payload stands in for a decoded frame — the chunk positions
+    * come from the REAL container header (frame count from `avih`); only
+    * the pixel decode itself is stubbed. */
   def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) =>
-        decode(blob) match {
-          case Some(m) if m.kind == "video" && m.n_frames > 0 =>
-            val payload = blob.drop(17)
-            val frameSize = math.max(1, payload.length / m.n_frames)
-            (0 until m.n_frames by stride).map { f =>
+        decodeAviMeta(blob) match {
+          case Some((_, _, nFrames)) if nFrames > 0 =>
+            val payload = aviPayload(blob).getOrElse(Array.emptyByteArray)
+            val frameSize = math.max(1, payload.length / nFrames)
+            (0 until nFrames by stride).map { f =>
               Frame(id, f, payload.slice(f * frameSize, math.min(payload.length, (f + 1) * frameSize)))
             }
           case _ => Nil

@@ -5,29 +5,43 @@ import org.apache.spark.sql.SparkSession
 
 /** Generates the frozen expected-value oracles under `golden/frozen/`:
   * for pure-function queries DuckDB cannot express (simhash, winnowing
-  * fingerprint, engine hash64, langid, quality score), the oracle is a
-  * checked-in parquet of the expected output at the driver's verification
-  * scale (sf0.01). Generated ONCE, reviewed, committed — afterwards it is a
-  * drift lock: any change to the frozen functions (TextOps/Tokenize/
-  * Hash64Expr) fails the driver's rows+schema+hash compare until the
-  * fixture is deliberately regenerated (same contract as `golden/` and
+  * fingerprint, engine hash64, langid, quality score, the ImageIO/WAV/AVI
+  * multimodal codecs), the oracle is a checked-in parquet of the expected
+  * output. Generated ONCE per scale, reviewed, committed — afterwards it is
+  * a drift lock: any change to the frozen functions (TextOps/Tokenize/
+  * Hash64Expr/Multimodal) fails the driver's rows+schema+hash compare until
+  * the fixture is deliberately regenerated (same contract as `golden/` and
   * `FrozenExtractSpec`).
+  *
+  * Layout is SF-KEYED: sf-dependent queries freeze under
+  * `golden/frozen/<sf>/<query>.parquet` (one directory per scale the driver
+  * may sweep), sf-independent ones (the mm_* codec queries — fixed
+  * 500-blob synthetic input) under `golden/frozen/common/`. Verify
+  * substitutes `{SF}` in the oracle SQL with the sweep's scale, so a sweep
+  * at a scale with no frozen directory fails LOUDLY at read_parquet — never
+  * as a silent hash mismatch indistinguishable from an engine bug.
   */
 object GenFrozen {
-  val FrozenQueries: Vector[String] = Vector(
+  /** frozen per scale (output depends on the sf tables) */
+  val SfQueries: Vector[String] = Vector(
     "doc_simhash", "doc_fingerprint", "doc_split_hash64", "doc_langid", "doc_quality_score")
 
+  /** frozen once (synthetic fixed-size input, identical at every sf) */
+  val CommonQueries: Vector[String] = Vector(
+    "mm_decode_meta", "mm_features", "mm_frame_sample", "mm_resize")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val outDir = Paths.get(if (args.length > 1) args(1) else "golden/frozen")
-    Files.createDirectories(outDir)
+    val sfDirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val root = Paths.get("golden/frozen")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    FrozenQueries.foreach { name =>
+    def freeze(name: String, sfDir: String, outDir: java.nio.file.Path): Unit = {
+      Files.createDirectories(outDir)
       val tmp = Files.createTempDirectory(s"frozen_$name").resolve("out").toString
       graft.SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -43,6 +57,12 @@ object GenFrozen {
       require(moved, s"no parquet part written for $name")
       println(s"frozen: $name -> ${outDir.resolve(s"$name.parquet")}")
     }
+
+    sfDirs.foreach { sfDir =>
+      val sf = Paths.get(sfDir).getFileName.toString
+      SfQueries.foreach(freeze(_, sfDir, root.resolve(sf)))
+    }
+    CommonQueries.foreach(freeze(_, sfDirs.head, root.resolve("common")))
     spark.stop()
   }
 }

@@ -4,11 +4,57 @@ import graft.SparkTestBase
 
 class MultimodalSpec extends SparkTestBase {
 
-  test("decode/meta plumbing round-trips the synthetic header") {
+  test("decode/meta plumbing round-trips every synthetic container") {
     val meta = Multimodal.decodeMeta(Multimodal.syntheticMedia(spark, 100)).collect()
     assert(meta.length == 100)
-    assert(meta.forall(r => Set("image", "audio", "video").contains(r.getAs[String]("kind"))))
-    assert(meta.forall(r => r.getAs[Int]("width") >= 16))
+    meta.foreach { r =>
+      r.getAs[String]("kind") match {
+        case "image" | "video" =>
+          assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("height") >= 16, r.toString)
+        case "audio" =>
+          assert(r.getAs[Int]("sample_rate") >= 8000, r.toString)
+          assert(r.getAs[Int]("n_channels") >= 1, r.toString)
+          assert(r.getAs[Int]("n_frames") >= 64, r.toString)
+        case k => fail(s"unexpected kind $k")
+      }
+    }
+  }
+
+  test("audio blobs are REAL WAVs: the JDK sound API parses rate/channels/frames") {
+    val samples = Array.tabulate(441)(i => (math.sin(i * 0.1) * 3000).toShort)
+    val wav = Multimodal.encodeWav(44100, 1, samples)
+    assert(Multimodal.isWavBlob(wav))
+    // the real codec path, not our own header math
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(wav))
+    assert(aff.getFormat.getSampleRate == 44100f && aff.getFormat.getChannels == 1)
+    assert(aff.getFrameLength == 441)
+    assert(Multimodal.decodeAudioMeta(wav).contains((44100, 1, 441)))
+    // stereo: frame = one sample per channel
+    val stereo = Multimodal.encodeWav(16000, 2, new Array[Short](2 * 100))
+    assert(Multimodal.decodeAudioMeta(stereo).contains((16000, 2, 100)))
+  }
+
+  test("audio features come from the decoded PCM samples") {
+    val sps = spark; import sps.implicits._
+    // constant amplitude 0 -> every sample lands in bucket (0+32768)>>12 = 8
+    val wav = Multimodal.encodeWav(8000, 1, new Array[Short](256))
+    val f = Multimodal.features(
+      spark.createDataset(Seq((1L, wav))).toDF("media_id", "blob")).collect()
+    val v = f.head.getSeq[Float](1)
+    assert(v(8) == 1.0f && v.indices.filter(_ != 8).forall(v(_) == 0.0f), v.mkString(","))
+    assert(Multimodal.decodeAudioSamples(wav).get.forall(_ == 0))
+  }
+
+  test("video container is real RIFF: the chunk walk reads avih dims and movi payload") {
+    val payload = Array.tabulate(240)(_.toByte)
+    val avi = Multimodal.encodeAvi(320, 240, 12, payload)
+    assert(Multimodal.isAviBlob(avi))
+    assert(Multimodal.decodeAviMeta(avi).contains((320, 240, 12)))
+    assert(Multimodal.aviPayload(avi).get.toSeq == payload.toSeq)
+    // truncated container is isolated like any malformed blob
+    assert(Multimodal.decodeAviMeta(avi.take(30)).isEmpty)
+    assert(Multimodal.decode(avi.take(30)).isEmpty)
   }
 
   test("malformed blobs are isolated, not fatal") {
@@ -89,14 +135,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(v(15) == 1.0f && v.take(15).forall(_ == 0.0f), v.mkString(","))
   }
 
-  test("resize re-encodes every decodable blob at the target dimensions") {
+  test("resize re-encodes spatial blobs at the target dims; audio passes through") {
     val resized = Multimodal.resize(Multimodal.syntheticMedia(spark, 100), 32, 32)
     val meta = Multimodal.decodeMeta(resized).collect()
     assert(meta.length == 100)
-    assert(meta.forall(r => r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32))
-    // payload budget scales with the pixel ratio; frames preserved
+    val spatial = meta.filter(r => r.getAs[String]("kind") != "audio")
+    assert(spatial.nonEmpty)
+    assert(spatial.forall(r => r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32))
+    // payload budget scales with the pixel ratio; frames preserved; audio
+    // (no spatial dims) keeps its exact original metadata
     val orig = Multimodal.decodeMeta(Multimodal.syntheticMedia(spark, 100)).collect()
-      .map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("n_frames")).toMap
-    assert(meta.forall(r => r.getAs[Int]("n_frames") == orig(r.getAs[Long]("media_id"))))
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("n_frames"), r.getAs[Int]("sample_rate"), r.getAs[Int]("n_channels"))).toMap
+    meta.foreach { r =>
+      val (nf, sr, ch) = orig(r.getAs[Long]("media_id"))
+      assert(r.getAs[Int]("n_frames") == nf, r.toString)
+      assert(r.getAs[Int]("sample_rate") == sr && r.getAs[Int]("n_channels") == ch, r.toString)
+    }
   }
 }
