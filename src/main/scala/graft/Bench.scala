@@ -75,11 +75,14 @@ object Bench {
     // inside a timed query
     System.gc(); Thread.sleep(500)
 
-    // two timed passes, best per query (GC/scheduler noise is one-sided)
+    // three timed passes, best per query (GC/scheduler/hypervisor noise is
+    // one-sided — BENCH.md's measured band shows single-shot runs drifting
+    // up to ~30% on a noisy box, so the recorded JSON takes per-query minima
+    // to reflect steady state)
     results("kg_pipeline") = Double.MaxValue // fix JSON key order
     var pipeSec = Double.MaxValue
     var nTriples = 0L
-    (1 to 2).foreach { _ =>
+    (1 to 3).foreach { _ =>
       val (t, sec) = timed { KgPipeline.triples(spark, n).count() }
       nTriples = t
       if (sec < pipeSec) pipeSec = sec

@@ -150,18 +150,21 @@ object KgPipeline {
     val ds = compute
     ds.write.mode(SaveMode.Overwrite).parquet(stagePath)
     val back = spark.read.parquet(stagePath)
-    // per-partition lineage: rows per parquet file of this stage (single
-    // scan; the stage total is the sum of the per-file counts)
-    val perFileRows = back
-      .select(input_file_name().as("file"))
-      .groupBy("file").count()
-      .collect()
-    val perFile = perFileRows
-      .map(r => s"""{"file":"${r.getString(0).split('/').last}","rows":${r.getLong(1)}}""")
-      .mkString("[", ",", "]")
-    val total = perFileRows.map(_.getLong(1)).sum
+    // per-partition lineage: rows per parquet file of this stage, written
+    // as a parquet sidecar by the CLUSTER — the driver only collects the
+    // one-row aggregate (file count + row total). An inline JSON list would
+    // be O(files) driver memory: at 100 TB a stage has 10⁵-10⁶ files, and
+    // with Iceberg this record is subsumed by snapshot metadata anyway.
+    val lineagePath = s"$outDir/${name}_lineage"
+    back.select(input_file_name().as("file"))
+      .groupBy("file").agg(count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(lineagePath)
+    val agg = spark.read.parquet(lineagePath)
+      .agg(count(lit(1)).as("n_files"), coalesce(sum("rows"), lit(0L)).as("rows"))
+      .head()
     val manifest =
-      s"""{"stage":"$name","fingerprint":"$fingerprint","rows":$total,"partitions":$perFile}"""
+      s"""{"stage":"$name","fingerprint":"$fingerprint","rows":${agg.getLong(1)},""" +
+        s""""n_files":${agg.getLong(0)},"lineage":"$lineagePath"}"""
     writeString(fs, manifestPath, manifest)
     spark.read.parquet(stagePath).as[T]
   }

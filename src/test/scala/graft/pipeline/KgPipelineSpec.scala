@@ -82,7 +82,13 @@ class KgPipelineSpec extends SparkTestBase {
     assert(t1 == t2)
     val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/triples/_graft_manifest.json"))
     assert(manifest.contains("\"fingerprint\":\"v1-n100\""))
-    assert(manifest.contains("\"partitions\":["))
+    // lineage is a distributed parquet sidecar (O(1) on the driver), whose
+    // per-file counts must sum to the manifest's row total
+    assert(manifest.contains("\"n_files\":") && manifest.contains("\"lineage\":"), manifest)
+    val lineage = spark.read.parquet(s"$dir/triples_lineage")
+    assert(lineage.columns.toSeq == Seq("file", "rows"))
+    val lineageTotal = lineage.agg(sum("rows")).head.getLong(0)
+    assert(manifest.contains(s""""rows":$lineageTotal,"""), s"$manifest vs $lineageTotal")
   }
 
   // every storage layout, through the one GraphSink interface (the seam
