@@ -99,6 +99,20 @@ object SparkEntry {
       Triangles.count(
         Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap))
     }),
+    "kg_pagerank" -> ((s, dir) => {
+      // entity importance over the co-mention graph: fixed-iteration
+      // PageRank in exact integer (micro-rank) arithmetic — deterministic
+      // across partitionings AND engines, so the oracle can re-derive all
+      // five rounds from the aux_links dump in plain SQL (unrolled CTEs).
+      // Same capped edge derivation as kg_comention_triangles.
+      val links = KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
+        PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
+        .localCheckpoint()
+      graft.operators.PageRank.ranks(
+          Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap), iters = 5)
+        .withColumnRenamed("node", "entity_iri")
+    }),
     "kg_link_precision_recall" -> ((s, dir) => {
       import s.implicits._
       val n = PagesSynth.pageCount(dir)
@@ -489,6 +503,98 @@ object SparkEntry {
       Dedup.simhashPairs(t(dir, "documents"), maxHamming = 10)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
+    "doc_bloom_decontaminate" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // decontamination through a broadcast Bloom prefilter: the eval
+      // shingle set compresses to ~1.2 bytes/item at 1% fpp, so at corpus
+      // scale the train side drops to ~fpp of its shingles MAP-SIDE before
+      // any join; the exact verify join then removes false positives, so
+      // the output equals doc_decontaminate exactly (same oracle). This is
+      // the 100 TB shape when the eval set outgrows a broadcast hash join
+      // but its bloom still fits (10^9 shingles ≈ 1.2 GB).
+      val docs = t(dir, "documents")
+      val sh = docs.withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(ws) - 3), i -> array_join(slice(ws, i, 4), ' '))"))).as("sh"))
+      val ev = sh.filter(col("doc_id") < 50).select("sh").distinct()
+      val bloom = ev.stat.bloomFilter("sh", math.max(ev.count(), 100L), 0.01)
+      val bBloom = s.sparkContext.broadcast(bloom)
+      val candidates = sh.filter(col("doc_id") >= 50)
+        .as[(Long, String)]
+        .filter(r => bBloom.value.mightContainString(r._2))
+        .toDF("doc_id", "sh")
+      val hits = candidates.join(broadcast(ev), "sh").select("doc_id").distinct()
+      docs.filter(col("doc_id") >= 50).select(col("doc_id"))
+        .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
+    }),
+    "doc_sample_stratified" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // deterministic stratified sampling: per-language keep rates applied
+      // via a content-derived bucket (two md5 hex chars → 0..99), so the
+      // sample is reproducible, join-free (broadcast rate map) and
+      // rerun-stable at any parallelism — never rand()
+      val rates = Seq(("en", 60L), ("de", 35L), ("fr", 35L), ("es", 25L))
+      val rateCol = rates.foldLeft(lit(10L)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      t(dir, "documents").select(
+        col("doc_id"), col("lang"),
+        ((ascii(substring(md5(col("text")), 1, 1)) * 256 +
+          ascii(substring(md5(col("text")), 2, 1))) % 100 < rateCol).as("sampled"))
+    }),
+    "doc_source_quota" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // per-source quota capping (boilerplate-farm control): keep the 20
+      // lowest-doc_id documents per source; plans as a map-side
+      // WindowGroupLimit — each task truncates its own source runs before
+      // the exchange, so a source with 10^8 docs ships 20 rows per task,
+      // not 10^8
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(dir, "documents").select("doc_id", "source")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("source"), col("rn"))
+    }),
+    "kg_merge_incremental" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // SCD-1 snapshot merge (the Iceberg MERGE INTO shape on the session-
+      // catalog substitute): base snapshot + deterministic delta (every
+      // 7th doc re-crawled with updated text) → latest version per key via
+      // one shuffle on the key + a row_number window. At 100 TB the same
+      // plan merge-on-reads against the base's bucketed layout.
+      val docs = t(dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"), lit(2L).as("version"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("version"))
+      base.unionByName(delta)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("version"))
+    }),
+    "ev_props_json" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // semi-structured extraction: JSON props column → typed field →
+      // decile rollup (get_json_object is codegen'd; no UDF)
+      t(dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(expr("k DIV 10").as("k_decile"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).cast("bigint").as("sum_k"))
+    }),
+    "doc_langid_eval" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // model-eval pattern: confusion matrix of the frozen langid heuristic
+      // against the corpus's labeled lang column
+      val pred = t(dir, "documents").select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) => (id, TextOps.langId(text)) })
+        .toDF("doc_id", "lang_pred")
+      t(dir, "documents").select("doc_id", "lang").join(pred, "doc_id")
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+    }),
 
     // ============ training-data ops: embeddings =============================
     "emb_knn_brute" -> ((s, dir) => {
@@ -683,7 +789,74 @@ object SparkEntry {
     *    non-SQL-expressible pure functions at sf0.01 (generated once by
     *    `graft.tools.GenFrozen`, reviewed, committed — a drift lock).
     */
-  def oracleSql: Map[String, String] = Map(
+  /** kg_pagerank oracle: the integer-arithmetic update is engine-exact, so
+    * all `iters` rounds unroll into plain CTEs over the aux_links dump —
+    * the full iterative computation is independently re-derived in DuckDB
+    * (edges use the same hub-cap derivation as kg_comention_triangles). */
+  private def pagerankOracleSql(iters: Int): String = {
+    val head =
+      """WITH l0 AS (SELECT DISTINCT url, entity_iri
+                     FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              l AS (SELECT url, entity_iri FROM (
+                      SELECT url, entity_iri,
+                             ROW_NUMBER() OVER (PARTITION BY url ORDER BY entity_iri) AS rn
+                      FROM l0) WHERE rn <= 64),
+              e AS (SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
+                    FROM l a JOIN l b ON a.url = b.url AND a.entity_iri < b.entity_iri),
+              sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+              deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+              r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM deg)"""
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (SELECT d.node,
+               CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM deg d LEFT JOIN (
+               SELECT sym.dst AS node, SUM(p.rank_micro // dg.deg) AS c
+               FROM sym JOIN r${k - 1} p ON p.node = sym.src
+                        JOIN deg dg ON dg.node = sym.src
+               GROUP BY sym.dst) s ON s.node = d.node)"""
+    }.mkString(",\n")
+    s"$head,\n$rounds\nSELECT node AS entity_iri, rank_micro FROM r$iters"
+  }
+
+  def oracleSql: Map[String, String] = baseOracleSql +
+    // the bloom prefilter is an optimization, not a semantics change: its
+    // exact-verify join makes the output identical to doc_decontaminate,
+    // so the two queries share one oracle
+    ("doc_bloom_decontaminate" -> baseOracleSql("doc_decontaminate"))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
+    "kg_pagerank" -> pagerankOracleSql(5),
+    "doc_sample_stratified" ->
+      """SELECT doc_id, lang,
+           (ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 100 <
+             (CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 35 WHEN 'fr' THEN 35
+                        WHEN 'es' THEN 25 ELSE 10 END) AS sampled
+         FROM documents""",
+    "doc_source_quota" ->
+      """SELECT doc_id, source, rn FROM (
+           SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents) t WHERE rn <= 20""",
+    "kg_merge_incremental" ->
+      """WITH u AS (
+           SELECT doc_id, text, 1 AS version FROM documents
+           UNION ALL
+           SELECT doc_id, text || ' v2' AS text, 2 AS version FROM documents WHERE doc_id % 7 = 0),
+         r AS (SELECT doc_id, md5(text) AS text_md5, CAST(version AS BIGINT) AS version,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+               FROM u)
+         SELECT doc_id, text_md5, version FROM r WHERE rn = 1""",
+    "ev_props_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_decile,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+         FROM events
+         GROUP BY k_decile""",
+    "doc_langid_eval" ->
+      """SELECT d.lang, f.lang_pred, COUNT(*) AS n_docs
+         FROM documents d
+         JOIN read_parquet('/root/repo/golden/frozen/{SF}/doc_langid.parquet') f USING (doc_id)
+         GROUP BY d.lang, f.lang_pred""",
     "kg_top_entities" ->
       """WITH best AS (SELECT alias_norm, entity_iri FROM (
            SELECT alias_norm, entity_iri,

@@ -99,6 +99,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
   }
 
+  test("doc_source_quota truncates per-source runs map-side (partial WindowGroupLimit)") {
+    val plan = planOf("doc_source_quota").toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+  }
+
+  test("bloom-prefiltered decontamination equals the exact join output") {
+    val sfd = sfDir
+    val exact = SparkEntry.queries("doc_decontaminate")(spark, sfd)
+    val bloomed = SparkEntry.queries("doc_bloom_decontaminate")(spark, sfd)
+    assert(bloomed.except(exact).isEmpty && exact.except(bloomed).isEmpty,
+      "bloom prefilter changed decontamination output")
+  }
+
   test("no driver-contract query plans a cartesian product") {
     // ALL queries; emb_pairs_cosine's bounded-head brute force is the
     // documented exception (nested-loop on 120 rows by design)
