@@ -617,19 +617,22 @@ object SparkEntry {
     }),
     "emb_pairs_cosine" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      // brute cosine pairs over a bounded head sample, declarative: the dot
-      // product and norms stay inside codegen via zip_with/aggregate (no
-      // UDF, no mapPartitions). Threshold 0.357 sits in a 3e-3-wide gap of
-      // the sf0.01 cosine distribution, so engine float-accumulation
-      // differences cannot flip a pair. Scale path: Dedup.embeddingPairs.
+      // brute cosine pairs over a bounded head sample through the NATIVE
+      // graft_cosine expression (CosineExpr): Spark's higher-order
+      // functions (aggregate/zip_with) evaluate interpreted lambdas outside
+      // whole-stage codegen and allocate an intermediate array per row —
+      // the native expression is one static call fused into the join's
+      // codegen span, with the SAME index-order double accumulation
+      // (CosineExprSpec pins bit-equality to the HOF formulation).
+      // Threshold 0.357 sits in a 3e-3-wide gap of the sf0.01 cosine
+      // distribution, so engine float-accumulation differences cannot flip
+      // a pair. Scale path: Dedup.embeddingPairs.
+      graft.functions.CosineExpr.register(s)
       val e = t(dir, "embeddings").filter(col("vec_id") < 120)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"))
-        .withColumn("na2", expr("aggregate(ea, 0D, (acc, x) -> acc + cast(x as double) * x)"))
-        .withColumn("nb2", expr("aggregate(eb, 0D, (acc, x) -> acc + cast(x as double) * x)"))
-        .filter(col("dot") / sqrt(col("na2") * col("nb2")) >= 0.357)
+        .filter(graft.functions.CosineExpr.graft_cosine(col("ea"), col("eb")) >= 0.357)
         .select(col("vec_a"), col("vec_b"))
     }),
     "emb_dedup_cosine" -> ((s, dir) => {

@@ -17,6 +17,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash64"),
       new ExpressionInfo(classOf[Hash64Expr].getName, "graft_hash64"),
       (exprs: Seq[Expression]) => Hash64Expr(GraftExtensions.exactlyOne("graft_hash64", exprs))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => {
+        val (a, b) = CosineExpr.exactlyTwo("graft_cosine", exprs); CosineExpr(a, b)
+      }))
   }
 }
 

@@ -38,6 +38,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql("SELECT graft_hash64('a', 'b')").collect()
       }
+
+      // graft_cosine rides the same injection (orthogonal vectors -> 0.0)
+      import spark.implicits._
+      Seq((Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+        .createOrReplaceTempView("cos_ext_t")
+      assert(spark.sql("SELECT graft_cosine(a, b) AS c FROM cos_ext_t")
+        .head.getDouble(0) == 0.0)
+      val ec = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT graft_cosine(a) FROM cos_ext_t").collect()
+      }
+      assert(ec.getMessage.contains("graft_cosine"))
     } finally spark.stop()
   }
 }
