@@ -238,6 +238,21 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n_rows"))
     }),
+    "q_cheapest_lineitem" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // correlated scalar subquery: Catalyst decorrelates it into an
+      // aggregate + equi left-outer join (never a per-row re-scan), which
+      // the global no-cartesian plan lock verifies; orders with no
+      // lineitems surface NULL, mirrored by the oracle
+      t(dir, "lineitem").createOrReplaceTempView("li_csq")
+      t(dir, "orders").createOrReplaceTempView("o_csq")
+      s.sql(
+        """SELECT o_orderkey,
+                  CAST((SELECT MIN(ROUND(l_extendedprice * 100)) FROM li_csq
+                        WHERE l_orderkey = o_orderkey) AS BIGINT) AS min_price_cents
+           FROM o_csq
+           WHERE o_totalprice > 400000""")
+    }),
     "ev_hourly" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       t(dir, "events")
@@ -1106,6 +1121,12 @@ object SparkEntry {
       """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
               COALESCE(l_linestatus,'ALL') AS linestatus, COUNT(*) AS n_rows
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_cheapest_lineitem" ->
+      """SELECT o_orderkey,
+           CAST((SELECT MIN(ROUND(l_extendedprice * 100)) FROM lineitem
+                 WHERE l_orderkey = o_orderkey) AS BIGINT) AS min_price_cents
+         FROM orders
+         WHERE o_totalprice > 400000""",
     "ev_hourly" ->
       """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
            COUNT(*) AS n_events,

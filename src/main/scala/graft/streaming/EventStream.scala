@@ -56,6 +56,35 @@ object EventStream {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
 
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * views within the `beforeSec` seconds at or before it — the streaming
+    * form of `RangeJoin.band` / `ev_range_join` (batch parity spec-locked).
+    *
+    * Both sides carry watermarks and the join condition bounds BOTH
+    * event-time columns, which is what lets Spark run an unbounded
+    * stream-stream join with bounded state: a buffered view is evictable
+    * once the purchase-side watermark passes `v_ts + beforeSec`, and a
+    * buffered purchase once the view-side watermark passes `p_ts`. Without
+    * the time bound the state store would grow forever.
+    *
+    * (Batch inputs plan the same join as a plain equi-key + range filter;
+    * the BANDED batch operator `RangeJoin.band` remains the 100 TB batch
+    * path — streaming state eviction already bounds the hot-key damage
+    * here, banding is about batch shuffle topology.) */
+  def intervalJoin(purchases: DataFrame, views: DataFrame,
+      beforeSec: Long = 3600, delay: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", delay)
+    val v = views
+      .select(col("user_id").as("v_uid"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", delay)
+    p.join(v, col("user_id") === col("v_uid") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $beforeSec SECONDS"))
+      .select(col("purchase_id"), col("view_id"))
+  }
+
   /** Custom state: running per-user event count that survives across
     * micro-batches (mapGroupsWithState, update mode). Emits the new total
     * for every user seen in the batch. */

@@ -108,6 +108,57 @@ class EventStreamSpec extends SparkTestBase {
     assert(viaSessionWindow == viaLag)
   }
 
+  test("stream-stream interval join == banded batch range join on the same rows") {
+    val sq = spark.sqlContext
+    implicit val sqc: org.apache.spark.sql.SQLContext = sq
+    import sq.implicits._
+    // (user_id, ts, event_id): purchases at 100/200 for u1, 50 for u2;
+    // views scattered inside and outside the 60-minute window
+    val pRows = Seq((1L, ts(100), 1000L), (1L, ts(200), 1001L), (2L, ts(50), 1002L))
+    val vRows = Seq(
+      (1L, ts(45), 2000L),  // 55 min before p1000: match
+      (1L, ts(100), 2001L), // at p1000 exactly AND 100 min before p1001: one match
+      (1L, ts(150), 2002L), // 50 min before p1001: match
+      (1L, ts(201), 2003L), // after p1001: no match
+      (2L, ts(49), 2004L),  // 1 min before p1002: match
+      (3L, ts(100), 2005L)) // wrong user: no match
+    def df(rows: Seq[(Long, Timestamp, Long)]) = rows.toDF("user_id", "ts", "event_id")
+
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val vIn = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStream.intervalJoin(
+        pIn.toDF().toDF("user_id", "ts", "event_id"),
+        vIn.toDF().toDF("user_id", "ts", "event_id"), beforeSec = 3600)
+      .writeStream.format("memory").queryName("ssij").outputMode("append").start()
+    // feed across multiple micro-batches in event-time order (rows behind
+    // the 10-minute watermark are dropped by design) so matches must cross
+    // buffered state
+    pIn.addData((1L, ts(100), 1000L), (2L, ts(50), 1002L))
+    vIn.addData((1L, ts(45), 2000L), (1L, ts(100), 2001L), (2L, ts(49), 2004L))
+    q.processAllAvailable()
+    pIn.addData((1L, ts(200), 1001L))
+    vIn.addData((1L, ts(150), 2002L), (1L, ts(201), 2003L), (3L, ts(100), 2005L))
+    q.processAllAvailable()
+    // advance both watermarks far past everything so all joins finalize
+    // (distinct sentinel users so the sentinels cannot join each other)
+    pIn.addData((98L, ts(10000), 9L)); vIn.addData((99L, ts(10000), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ssij").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.RangeJoin.band(
+        df(pRows), df(vRows), "user_id", "ts", "ts",
+        beforeSec = 3600, afterSec = 0, rightPayload = Seq("event_id"))
+      .select(col("event_id"), col("range_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // v2001 is 100 min before p1001 — outside the 60-min window for p1001
+    // but an exact-time match for p1000
+    assert(batch == Set((1000L, 2000L), (1000L, 2001L),
+      (1001L, 2002L), (1002L, 2004L)))
+  }
+
   test("streaming exact dedup: duplicate doc_ids across micro-batches emit once") {
     // the streaming form of Dedup.exactKeep for a crawl feed: state-backed
     // dropDuplicates; re-crawled ids in later batches are suppressed
