@@ -503,6 +503,15 @@ object SparkEntry {
           bigramJaccardPairs(t(dir, "documents")).select("doc_a", "doc_b"))
         .select(col("id").as("doc_id"), col("component"))
     }),
+    "doc_dup_components_logstar" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // same function as doc_dup_components through the O(log n)
+      // large-star/small-star contraction (the adversarial-diameter path);
+      // shares the recursive-CTE oracle because the outputs must be equal
+      graft.dedup.Dedup.componentsLogStar(
+          bigramJaccardPairs(t(dir, "documents")).select("doc_a", "doc_b"))
+        .select(col("id").as("doc_id"), col("component"))
+    }),
     "doc_minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.minhashPairs(t(dir, "documents"), threshold = 0.3)
@@ -840,7 +849,10 @@ object SparkEntry {
     // the bloom prefilter is an optimization, not a semantics change: its
     // exact-verify join makes the output identical to doc_decontaminate,
     // so the two queries share one oracle
-    ("doc_bloom_decontaminate" -> baseOracleSql("doc_decontaminate"))
+    ("doc_bloom_decontaminate" -> baseOracleSql("doc_decontaminate")) +
+    // log-star contraction computes the identical component labeling, so it
+    // shares the recursive-CTE closure oracle
+    ("doc_dup_components_logstar" -> baseOracleSql("doc_dup_components"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "kg_pagerank" -> pagerankOracleSql(5),

@@ -236,6 +236,65 @@ object Dedup {
     labels
   }
 
+  /** Connected components in O(log n) rounds via alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the adversarial-diameter path [[components]]' Scaladoc
+    * promises: min-label propagation needs O(diameter) rounds, so a
+    * 10⁶-node chain (pathological but possible in near-dup graphs chained
+    * through template boilerplate) would blow any sane round budget, while
+    * star contraction halves tree heights every round regardless of shape.
+    *
+    * Per round: each star op is ONE window-min + filter over the symmetric
+    * edge list (hash shuffle on the pivot node), lineage cut per round.
+    *   large-star: every neighbor v > u re-attaches to m = min(N(u) ∪ {u})
+    *   small-star: every neighbor v ≤ u (and u) re-attaches to that m
+    * Converged when the edge set is a fixpoint — then edges ARE
+    * (node → component-root) assignments.
+    *
+    * Returns (id, component) with component = min id reachable — the same
+    * contract as [[components]] (spec-locked equal).
+    */
+  def componentsLogStar(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
+      maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = pairs.select(col(a).cast("long").as("id"))
+      .unionAll(pairs.select(col(b).cast("long").as("id"))).distinct().localCheckpoint()
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    var e = canon(pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v")))
+      .localCheckpoint()
+    def sym(d: DataFrame) = d.unionAll(d.select(col("v").as("u"), col("u").as("v")))
+    val w = Window.partitionBy("u")
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: neighbors strictly above the pivot attach to the min
+      val ls = sym(e).withColumn("m", least(col("u"), min("v").over(w)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star over the large-star output: neighbors at or below the
+      // pivot (and the pivot itself) attach to the min
+      val d = sym(canon(ls)).filter(col("v") <= col("u"))
+        .withColumn("m", min("v").over(w))
+      val ss = d.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(d.select(col("u"), col("m").as("v")))
+      val next = canon(ss).localCheckpoint()
+      converged = next.unionAll(e).except(next.intersect(e)).isEmpty
+      e = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.componentsLogStar did not converge in $maxIter rounds (log₂-bounded — " +
+          "this indicates a bug, not an input property)")
+    // fixpoint edges are canonical (root=min, child): every child maps to
+    // its root; roots and singletons keep themselves
+    nodes.join(e.select(col("v").as("id"), col("u").as("root")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+  }
+
   /** Keep-list from near-dup pairs: the canonical document of each component
     * is its min id; documents in no pair keep themselves (singleton). */
   def nearDupKeep(docs: DataFrame, pairs: DataFrame): DataFrame = {

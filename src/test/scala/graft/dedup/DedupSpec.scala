@@ -128,6 +128,33 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("componentsLogStar equals min-label components on random graphs") {
+    val sps = spark; import sps.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val n = 40
+      val edges = Seq.fill(50)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("doc_a", "doc_b")
+      val viaLabel = Dedup.components(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaStar = Dedup.componentsLogStar(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStar == viaLabel)
+    }
+  }
+
+  test("componentsLogStar collapses a 300-node chain inside its log-bounded rounds") {
+    val sps = spark; import sps.implicits._
+    // diameter-299 chain: min-label propagation needs ~299 rounds (throws at
+    // a 10-round budget); star contraction halves heights per round
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.componentsLogStar(chain, maxIter = 30).collect()
+    assert(out.length == 300)
+    assert(out.forall(_.getLong(1) == 0L), "every chain node labels to the min id")
+    intercept[IllegalStateException] { Dedup.components(chain, maxIter = 10) }
+  }
+
   test("a planted 1e5-member degenerate bucket is capped BEFORE materialization") {
     val sps = spark; import sps.implicits._
     // 100k identical documents: every LSH band bucket holds all 100k members.
