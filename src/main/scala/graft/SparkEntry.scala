@@ -587,17 +587,21 @@ object SparkEntry {
       // SCD-1 snapshot merge (the Iceberg MERGE INTO shape on the session-
       // catalog substitute): base snapshot + deterministic delta (every
       // 7th doc re-crawled with updated text) → latest version per key via
-      // one shuffle on the key + a row_number window. At 100 TB the same
-      // plan merge-on-reads against the base's bucketed layout.
+      // one shuffle on the key + a row_number window. The output contract
+      // is the content DIGEST, so it is computed in the narrow pass BEFORE
+      // the merge shuffle — only (key, digest, version) cross the exchange
+      // (a merge whose consumers need the payload necessarily ships it;
+      // this one doesn't, so it must not). At 100 TB the same plan
+      // merge-on-reads against the base's bucketed layout.
       val docs = t(dir, "documents")
-      val base = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
+      val base = docs.select(col("doc_id"), md5(col("text")).as("text_md5"), lit(1L).as("version"))
       val delta = docs.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"), lit(2L).as("version"))
+        .select(col("doc_id"), md5(concat(col("text"), lit(" v2"))).as("text_md5"), lit(2L).as("version"))
       val w = Window.partitionBy("doc_id").orderBy(desc("version"))
       base.unionByName(delta)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("version"))
+        .select(col("doc_id"), col("text_md5"), col("version"))
     }),
     "ev_props_json" -> ((s, dir) => {
       implicit val sp: SparkSession = s

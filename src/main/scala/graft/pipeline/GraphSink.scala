@@ -81,7 +81,59 @@ object GraphSink {
       spark.read.parquet(target).select(tripleCols: _*)
   }
 
+  /** Snapshot-versioned layout — the Iceberg snapshot/time-travel analog on
+    * plain parquet: every `write` commits an IMMUTABLE snapshot directory
+    * `snap=<id>/` and then swaps the `_current` pointer file, so readers
+    * never observe a half-written table (the pointer swap is the analog of
+    * Iceberg's atomic metadata-pointer commit; concurrent writers would
+    * additionally need a CAS on the pointer, which Iceberg's catalog
+    * provides). `read` resolves the current snapshot; [[readAsOf]] is
+    * `VERSION AS OF`; [[snapshots]] is the snapshot log. Old snapshots stay
+    * readable until an explicit expire — exactly Iceberg's retention model.
+    */
+  final class Snapshotted(parts: Int = 32) extends GraphSink {
+    val name = "snapshotted"
+
+    private def fs(spark: SparkSession, target: String) =
+      new org.apache.hadoop.fs.Path(target)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def snapshots(spark: SparkSession, target: String): Seq[Long] = {
+      val f = fs(spark, target)
+      val dir = new org.apache.hadoop.fs.Path(target)
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("snap=")).map(_.stripPrefix("snap=").toLong).sorted
+    }
+
+    def currentId(spark: SparkSession, target: String): Long = {
+      val f = fs(spark, target)
+      val ptr = new org.apache.hadoop.fs.Path(s"$target/_current")
+      require(f.exists(ptr), s"no committed snapshot at $target")
+      val in = f.open(ptr)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    }
+
+    def write(triples: Dataset[Triple], target: String): Unit = {
+      val spark = triples.sparkSession
+      val id = snapshots(spark, target).lastOption.getOrElse(0L) + 1
+      triples.repartition(parts, col("subj"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$target/snap=$id")
+      // data is fully durable before the pointer moves — the commit point
+      val f = fs(spark, target)
+      val out = f.create(new org.apache.hadoop.fs.Path(s"$target/_current"), true)
+      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    }
+
+    def readAsOf(spark: SparkSession, target: String, id: Long): DataFrame =
+      spark.read.parquet(s"$target/snap=$id").select(tripleCols: _*)
+
+    def read(spark: SparkSession, target: String): DataFrame =
+      readAsOf(spark, target, currentId(spark, target))
+  }
+
   /** Every layout, for parameterized round-trip tests. */
   def all(parts: Int): Seq[GraphSink] =
-    Seq(new Salted(parts), new BucketedTable(parts), new PredicatePartitioned(parts))
+    Seq(new Salted(parts), new BucketedTable(parts), new PredicatePartitioned(parts),
+      new Snapshotted(parts))
 }

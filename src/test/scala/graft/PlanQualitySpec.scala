@@ -99,6 +99,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
   }
 
+  test("kg_merge_incremental's merge exchange carries digests, never document text") {
+    val plan = SparkEntry.queries("kg_merge_incremental")(spark, sfDir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, plan.toString)
+    exchanges.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"merge exchange shuffles the raw text column: ${e.output.map(_.name)}")
+    }
+  }
+
   test("doc_source_quota truncates per-source runs map-side (partial WindowGroupLimit)") {
     val plan = planOf("doc_source_quota").toString
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)

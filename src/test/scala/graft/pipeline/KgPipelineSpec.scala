@@ -110,6 +110,26 @@ class KgPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("snapshotted graph sink: atomic pointer commit + time travel (VERSION AS OF analog)") {
+    val sink = new GraphSink.Snapshotted(parts = 4)
+    val dir = Files.createTempDirectory("graph_snap").toString + "/g"
+    val t1 = KgPipeline.triples(spark, 100)
+    val t2 = KgPipeline.triples(spark, 150)
+    sink.write(t1, dir)
+    sink.write(t2, dir)
+    assert(sink.snapshots(spark, dir) == Seq(1L, 2L))
+    assert(sink.currentId(spark, dir) == 2L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    // current read sees the latest snapshot; time travel sees the first,
+    // unchanged by the second commit
+    assert(canon(sink.read(spark, dir)) == canon(t2.toDF()))
+    assert(canon(sink.readAsOf(spark, dir, 1L)) == canon(t1.toDF()))
+    // snapshot directories are immutable: a third commit never rewrites them
+    sink.write(t1, dir)
+    assert(sink.snapshots(spark, dir) == Seq(1L, 2L, 3L))
+    assert(canon(sink.readAsOf(spark, dir, 2L)) == canon(t2.toDF()))
+  }
+
   test("salted write spreads skewed subjects across partitions") {
     val sps = spark; import sps.implicits._
     val tr = KgPipeline.triples(spark, N)
