@@ -102,4 +102,56 @@ object EventStream {
 
   /** Update-mode sink mode for [[runningUserCounts]]. */
   val updateMode: OutputMode = OutputMode.Update()
+
+  final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, s_start: java.sql.Timestamp,
+      s_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom-state sessionizer via `flatMapGroupsWithState` + event-time
+    * timeout: buffers each user's open gap-separated sessions in state and
+    * EMITS a session exactly once, when the watermark passes its close
+    * (last event + gap). The native `session_window` covers the plain
+    * count; this is the path for sessions needing custom payloads or
+    * merge logic the windowed aggregation cannot express — and it
+    * exercises timeout-driven state eviction (state for a user is dropped
+    * entirely once every session closes).
+    *
+    * Semantics vs `session_window`: identical grouping (ms granularity
+    * here); a closed row's `s_end` is the LAST EVENT time, where
+    * session_window's `end` is last event + gap (spec maps one onto the
+    * other exactly).
+    */
+  def closedSessions(events: Dataset[(Long, java.sql.Timestamp)], gapSec: Long = 1800,
+      delay: String = "10 minutes")(implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = gapSec * 1000L
+    events.toDF("user_id", "ts").withWatermark("ts", delay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionAcc], ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (user, rows, state) =>
+        // merge buffered open sessions with the batch's events (sorted
+        // fold — handles out-of-order arrivals inside the watermark)
+        val pts = (state.getOption.getOrElse(Nil).map(s => (s.startMs, s.endMs, s.n)) ++
+          rows.map(r => (r._2.getTime, r._2.getTime, 1L))).sortBy(p => (p._1, p._2))
+        val merged = pts.foldLeft(List.empty[SessionAcc]) { (acc, p) =>
+          acc match {
+            case h :: t if p._1 <= h.endMs + gapMs =>
+              SessionAcc(h.startMs, math.max(h.endMs, p._2), h.n + p._3) :: t
+            case _ => SessionAcc(p._1, p._2, p._3) :: acc
+          }
+        }.reverse
+        val wm = state.getCurrentWatermarkMs()
+        val (closed, open) = merged.partition(s => s.endMs + gapMs <= wm)
+        if (open.isEmpty) state.remove()
+        else {
+          state.update(open)
+          // earliest possible close; guaranteed > watermark by the
+          // partition above, as setTimeoutTimestamp requires
+          state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs)
+        }
+        closed.iterator.map(s => ClosedSession(user,
+          new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n))
+      }
+  }
 }

@@ -181,6 +181,40 @@ class EventStreamSpec extends SparkTestBase {
       "first-seen wins; the batch-2 recrawl of id 2 is suppressed by state")
   }
 
+  test("flatMapGroupsWithState sessionizer == session_window on the same rows, emitted once") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val sq = spark.sqlContext
+    implicit val sqc: org.apache.spark.sql.SQLContext = sq
+    import sq.implicits._
+    val events = Seq( // same shape as the session_window spec: u1 two
+      (1L, ts(10)), (1L, ts(20)), (1L, ts(45)), (1L, ts(200)), // sessions,
+      (2L, ts(15)), (2L, ts(100)))                             // u2 two
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.closedSessions(input.toDS(), gapSec = 1800, delay = "10 minutes")
+      .writeStream.format("memory").queryName("fmgws").outputMode("append").start()
+    // out-of-order feed inside the watermark, split across micro-batches
+    input.addData((1L, ts(20)), (1L, ts(10)), (2L, ts(15)))
+    q.processAllAvailable()
+    input.addData((1L, ts(45)), (2L, ts(100)), (1L, ts(200)))
+    q.processAllAvailable()
+    input.addData((99L, ts(5000)))  // watermark far past every close
+    q.processAllAvailable()
+    input.addData((99L, ts(9000)))  // second advance: re-emission would show
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("fmgws").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+      .filter(_._1 != 99L).toList
+    assert(got.size == got.toSet.size, "each closed session must be emitted exactly once")
+    // parity with the native session_window (its end = last event + gap)
+    val native = EventStream.sessionWindows(events.map(e => (e._2, e._1)).toDF("ts", "user_id"),
+        "30 minutes").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime - 1800 * 1000L, r.getLong(3))).toSet
+    assert(got.toSet == native, s"got ${got.toSet}\nnative $native")
+  }
+
   test("mapGroupsWithState: running per-user counts survive across micro-batches") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val sq = spark.sqlContext
