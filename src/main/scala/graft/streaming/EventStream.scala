@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Event-stream analytics (brief §streaming: watermarks + windowed aggs,
   * custom state via [mapG|flatMapG]roupsWithState).
@@ -102,6 +103,32 @@ object EventStream {
 
   /** Update-mode sink mode for [[runningUserCounts]]. */
   val updateMode: OutputMode = OutputMode.Update()
+
+  /** [[runningUserCounts]] on the Spark 4 arbitrary-state API
+    * (`transformWithState` + `StatefulProcessor`): typed named state
+    * variables, timer support, per-state TTL, RocksDB-backed store — the
+    * modern replacement for mapGroupsWithState and the API new state
+    * operators should target (the spec pins cross-micro-batch parity with
+    * the mapGroupsWithState formulation). */
+  class RunningCountProcessor extends StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long)] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      val total = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(total)
+      Iterator((key, total))
+    }
+  }
+
+  def runningUserCountsTws(events: Dataset[(Long, java.sql.Timestamp)])(
+      implicit spark: SparkSession): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
 
   final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
   final case class ClosedSession(user_id: Long, s_start: java.sql.Timestamp,

@@ -215,6 +215,39 @@ class EventStreamSpec extends SparkTestBase {
     assert(got.toSet == native, s"got ${got.toSet}\nnative $native")
   }
 
+  test("transformWithState (Spark 4 arbitrary-state API) matches mapGroupsWithState") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val sq = spark.sqlContext
+    implicit val sqc: org.apache.spark.sql.SQLContext = sq
+    import sq.implicits._
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp)]
+      val q = EventStream.runningUserCountsTws(input.toDS())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode(EventStream.updateMode).start()
+      input.addData((1L, ts(1)), (1L, ts(2)), (2L, ts(3)))
+      q.processAllAvailable()
+      input.addData((1L, ts(4)), (3L, ts(5)))
+      q.processAllAvailable()
+      q.stop()
+      val byBatch = spark.table("tws").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val finalTotals = byBatch.groupBy(_._1).map { case (u, rows) => (u, rows.map(_._2).max) }
+      // same contract the mapGroupsWithState spec pins
+      assert(finalTotals == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+      assert(byBatch.toSet.contains((1L, 2L)) && byBatch.toSet.contains((1L, 3L)),
+        "RocksDB-backed state carried the count across micro-batches")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState: running per-user counts survive across micro-batches") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val sq = spark.sqlContext
