@@ -399,6 +399,43 @@ object SparkEntry {
           expr(s"cum_before DIV $cap").as("shard_id"),
           (col("cum_before") % cap).as("shard_offset"))
     }),
+    "doc_chunk_sliding" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // sliding-window chunking for context-length-bounded training
+      // (size 128, stride 64, token = whitespace word): chunk index set is
+      // computed arithmetically and exploded — a narrow rowwise op, no
+      // shuffle; every doc yields >= 1 chunk (empty docs a zero-length one)
+      val chunk = 128; val stride = 64
+      t(dir, "documents").select(col("doc_id"),
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
+        .withColumn("n_chunks",
+          when(col("n_tokens") <= chunk, lit(1L))
+            .otherwise(expr(s"(n_tokens - $chunk + $stride - 1) DIV $stride + 1")))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * stride).as("tok_start"),
+          least(lit(chunk), col("n_tokens") - col("chunk_id") * stride).as("tok_len"))
+    }),
+    "doc_redact" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // regex redaction pass (blocklist terms + a PII email pattern),
+      // fully codegen'd — per-category match counts plus the digest of the
+      // redacted text. Patterns stay in the Java∩RE2 common dialect so the
+      // oracle replays them exactly; the blocklist alternation is the
+      // scale shape for term lists small enough to inline (bigger lists
+      // compile to one automaton the same way). The email pattern matches
+      // nothing on this synthetic corpus (no '@') — kept as the
+      // negative-case column.
+      val blockRe = "\\b(customer|secret|password)\\b"
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      t(dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(blockRe), lit(0))).as("n_blocked"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+        md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          blockRe, "<TERM>")).as("redacted_md5"))
+    }),
     "doc_repetition" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // Gopher/RefinedWeb repetition-filter inputs (integer counts; the
@@ -949,6 +986,26 @@ object SparkEntry {
                 cum_before // 4096 AS shard_id,
                 cum_before % 4096 AS shard_offset
          FROM c""",
+    "doc_chunk_sliding" ->
+      """WITH tkn AS (SELECT doc_id,
+                             CASE WHEN trim(text)='' THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                      FROM documents),
+              c AS (SELECT doc_id, n_tokens,
+                           CASE WHEN n_tokens <= 128 THEN 1
+                                ELSE (n_tokens - 128 + 63) // 64 + 1 END AS n_chunks
+                    FROM tkn)
+         SELECT doc_id, i AS chunk_id, i * 64 AS tok_start,
+                LEAST(128, n_tokens - i * 64) AS tok_len
+         FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) t""",
+    "doc_redact" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '\b(customer|secret|password)\b')) AS n_blocked,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                md5(regexp_replace(regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b(customer|secret|password)\b', '<TERM>', 'g')) AS redacted_md5
+         FROM documents""",
     "doc_repetition" ->
       """WITH l AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
                     FROM documents),
