@@ -16,12 +16,16 @@ import graft.util.Rng
   *    back through `javax.sound.sampled.AudioSystem` (sample rate, channel
   *    count, frame length straight from the JDK codec); audio features read
   *    the decoded PCM samples.
-  *  - VIDEO rides a REAL container format (minimal AVI/RIFF with a
-  *    spec-shaped `avih` header) parsed by a pure RIFF chunk walk — only
-  *    the FRAME PIXEL DECODE is stubbed (no video codec exists in the JDK);
-  *    [[sampleFrames]] slices the `movi` payload into frame-sized chunks at
-  *    the positions a real decoder would read. The swap-in point for an
-  *    FFmpeg-style binding is [[decode]] + [[sampleFrames]].
+  *  - VIDEO is REAL end-to-end as motion-PNG AVI (the MJPEG container
+  *    pattern with PNG frames): a spec-shaped RIFF/`avih` container whose
+  *    `movi` list carries one `00dc` chunk per frame, each a real PNG —
+  *    container parse (pure bounds-checked chunk walk), frame extraction,
+  *    frame pixel decode (ImageIO), per-frame resize, and first-frame
+  *    pixel features all operate on real data. Inter-frame-compressed
+  *    codecs (H.264 etc.) have no JDK decoder; an FFmpeg-style binding
+  *    would slot in at [[decodeImage]] per frame chunk. Legacy
+  *    single-chunk AVIs and the GRFT container still decode (metadata +
+  *    byte-level fallbacks).
   */
 object Multimodal {
 
@@ -118,26 +122,46 @@ object Multimodal {
 
   // ------------------------------------------------------------------ AVI
 
-  /** Minimal spec-shaped AVI: RIFF('AVI ') { LIST('hdrl'){ avih(56) },
-    * LIST('movi'){ '00dc'(payload) } }. The `avih` main header carries the
-    * real dwTotalFrames/dwWidth/dwHeight a demuxer reads
-    * (dwMicroSecPerFrame fixed at 40000 = 25 fps). */
+  /** Motion-PNG AVI (the MJPEG pattern with PNG frames): RIFF('AVI ')
+    * { LIST('hdrl'){ avih(56) }, LIST('movi'){ '00dc'(frame₀), '00dc'(frame₁), … } }
+    * — one `00dc` chunk per frame, each holding a REAL PNG, exactly how an
+    * MJPEG AVI carries one JPEG per chunk. Every stage of the video path
+    * (container parse, frame extraction, frame decode, per-frame resize,
+    * pixel features) is real; nothing is stubbed. */
+  def encodeAviFrames(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avihData = aviMainHeader(width, height, frames.size)
+    val hdrlLen = 4 + (8 + avihData.length)
+    val framesPadded = frames.map(f => if (f.length % 2 == 1) f :+ 0.toByte else f)
+    val moviLen = 4 + framesPadded.map(8 + _.length).sum
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(riffLen).put("AVI ".getBytes)
+    bb.put("LIST".getBytes).putInt(hdrlLen).put("hdrl".getBytes)
+    bb.put("avih".getBytes).putInt(avihData.length).put(avihData)
+    bb.put("LIST".getBytes).putInt(moviLen).put("movi".getBytes)
+    framesPadded.foreach(f => bb.put("00dc".getBytes).putInt(f.length).put(f))
+    bb.array()
+  }
+
+  private def aviMainHeader(width: Int, height: Int, frames: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(40000)       // dwMicroSecPerFrame (25 fps)
+    b.putInt(0)           // dwMaxBytesPerSec
+    b.putInt(0)           // dwPaddingGranularity
+    b.putInt(0)           // dwFlags
+    b.putInt(frames)      // dwTotalFrames
+    b.putInt(0)           // dwInitialFrames
+    b.putInt(1)           // dwStreams
+    b.putInt(0)           // dwSuggestedBufferSize
+    b.putInt(width)       // dwWidth
+    b.putInt(height)      // dwHeight
+    b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0) // dwReserved[4]
+    b.array()
+  }
+
+  /** Single-chunk AVI around an opaque payload (legacy shape; still decoded). */
   def encodeAvi(width: Int, height: Int, frames: Int, payload: Array[Byte]): Array[Byte] = {
-    val avihData = {
-      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.putInt(40000)       // dwMicroSecPerFrame (25 fps)
-      b.putInt(0)           // dwMaxBytesPerSec
-      b.putInt(0)           // dwPaddingGranularity
-      b.putInt(0)           // dwFlags
-      b.putInt(frames)      // dwTotalFrames
-      b.putInt(0)           // dwInitialFrames
-      b.putInt(1)           // dwStreams
-      b.putInt(0)           // dwSuggestedBufferSize
-      b.putInt(width)       // dwWidth
-      b.putInt(height)      // dwHeight
-      b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0) // dwReserved[4]
-      b.array()
-    }
+    val avihData = aviMainHeader(width, height, frames)
     val hdrlLen = 4 + (8 + avihData.length)          // 'hdrl' + avih chunk
     val moviPayload = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
     val moviLen = 4 + (8 + moviPayload.length)       // 'movi' + 00dc chunk
@@ -184,31 +208,35 @@ object Multimodal {
     else walk(12, math.min(bytes.length, 8 + riffLen))
   }
 
-  /** The movi payload (first '00dc' chunk inside LIST('movi')) — the bytes
-    * a frame decoder would consume. */
-  def aviPayload(bytes: Array[Byte]): Option[Array[Byte]] = {
-    if (!isAviBlob(bytes)) return None
+  /** All '00dc' frame chunks inside LIST('movi'), in stream order — for a
+    * motion-PNG blob each element is one decodable PNG frame. */
+  def aviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (!isAviBlob(bytes)) return Nil
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def walk(off: Int, end: Int): Option[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    def walk(off: Int, end: Int, inMovi: Boolean): Boolean = { // false = malformed
       var o = off
       while (o + 8 <= end) {
         val id = fourcc(bytes, o)
         val len = bb.getInt(o + 4)
-        if (len < 0 || o + 8 + len > end) return None
+        if (len < 0 || o + 8 + len > end) return false
         if (id == "LIST" && len >= 4 && fourcc(bytes, o + 8) == "movi") {
-          val r = walk(o + 12, o + 8 + len)
-          if (r.isDefined) return r
-        } else if (id == "00dc") {
-          return Some(java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + len))
+          if (!walk(o + 12, o + 8 + len, inMovi = true)) return false
+        } else if (id == "00dc" && inMovi) {
+          out += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + len)
         }
         o += 8 + len + (len & 1)
       }
-      None
+      true
     }
     val riffLen = bb.getInt(4)
-    if (riffLen < 4 || 8 + riffLen > bytes.length) None
-    else walk(12, math.min(bytes.length, 8 + riffLen))
+    if (riffLen < 4 || 8 + riffLen > bytes.length) Nil
+    else if (walk(12, math.min(bytes.length, 8 + riffLen), inMovi = false)) out.result()
+    else Nil
   }
+
+  /** The first '00dc' chunk's bytes (legacy single-payload accessor). */
+  def aviPayload(bytes: Array[Byte]): Option[Array[Byte]] = aviFrames(bytes).headOption
 
   // ---------------------------------------------------------------- decode
 
@@ -265,9 +293,21 @@ object Multimodal {
           val samples = Array.fill(frames * channels)(rng.nextInt(65536).toShort)
           (i, kind, encodeWav(rate, channels, samples))
         case _ =>
-          val frames = 1 + rng.nextInt(30)
-          val payload = Array.fill((w * h / 8) max 16)(rng.nextLong().toByte)
-          (i, kind, encodeAvi(w, h, frames, payload))
+          // motion-PNG video: every frame a real decodable PNG (smaller
+          // dims than stills keep the random-pixel blobs bounded)
+          val vw = 16 + rng.nextInt(16); val vh = 16 + rng.nextInt(16)
+          val nFrames = 1 + rng.nextInt(8)
+          val frames = Seq.fill(nFrames) {
+            val img = new java.awt.image.BufferedImage(vw, vh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < vh) {
+              var x = 0
+              while (x < vw) { img.setRGB(x, y, rng.nextInt(0x1000000)); x += 1 }
+              y += 1
+            }
+            encodePng(img)
+          }
+          (i, kind, encodeAviFrames(vw, vh, frames))
       }
     }).toDF("media_id", "kind", "blob")
   }
@@ -282,10 +322,27 @@ object Multimodal {
       }).toDF()
   }
 
-  /** Feature vector per blob (fixed 16-dim batch shape, L1-normalized):
-    * REAL pixel-luminance histogram for images, REAL decoded-PCM amplitude
-    * histogram for audio, payload byte histogram for video (frame decode is
-    * the one stubbed step) and unknown blobs. */
+  /** integer Rec.601 luminance histogram over real pixels (16 buckets) */
+  private def lumHist(img: java.awt.image.BufferedImage, hist: Array[Float]): Unit = {
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 77 + ((rgb >> 8) & 0xff) * 150 +
+          (rgb & 0xff) * 29) >> 8
+        hist(lum >> 4) += 1f
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Feature vector per blob (fixed 16-dim batch shape, L1-normalized),
+    * all from REAL decoded content: pixel-luminance histogram for images,
+    * decoded-PCM amplitude histogram for audio, first-frame pixel
+    * luminance for motion-PNG video; only unknown/legacy blobs fall back
+    * to a payload byte histogram. */
   def features(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -293,28 +350,19 @@ object Multimodal {
       .mapPartitions(_.map { case (id, blob) =>
         val hist = new Array[Float](16)
         decodeImage(blob) match {
-          case Some(img) =>
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                // integer luminance (Rec.601 weights scaled by 256) → bucket
-                val lum = (((rgb >> 16) & 0xff) * 77 + ((rgb >> 8) & 0xff) * 150 +
-                  (rgb & 0xff) * 29) >> 8
-                hist(lum >> 4) += 1f
-                x += 1
-              }
-              y += 1
-            }
+          case Some(img) => lumHist(img, hist)
           case None =>
             (if (isWavBlob(blob)) decodeAudioSamples(blob) else None) match {
               case Some(samples) =>
                 // amplitude histogram over the REAL decoded samples
                 samples.foreach(s => hist((s + 32768) >> 12) += 1f)
               case None =>
-                val payload = aviPayload(blob).getOrElse(blob)
-                payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
+                aviFrames(blob).headOption.flatMap(decodeImage) match {
+                  case Some(frame0) => lumHist(frame0, hist) // real video pixels
+                  case None =>
+                    val payload = aviPayload(blob).getOrElse(blob)
+                    payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
+                }
             }
         }
         val s = hist.sum
@@ -342,11 +390,11 @@ object Multimodal {
   }
 
   /** resize to (w, h): REAL nearest-neighbor resample + PNG re-encode for
-    * images; for videos the AVI is re-encoded at the target dimensions with
-    * the payload resampled to the proportional byte budget (frame decode
-    * stays stubbed); audio has no spatial dimensions and passes through
-    * unchanged. Undecodable blobs are dropped, mirroring decodeMeta's error
-    * isolation. */
+    * images; for motion-PNG videos EVERY frame is decoded, resampled and
+    * re-encoded into a target-dimension container (legacy opaque payloads
+    * fall back to a proportional byte-budget resample); audio has no
+    * spatial dimensions and passes through unchanged. Undecodable blobs
+    * are dropped, mirroring decodeMeta's error isolation. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -358,34 +406,52 @@ object Multimodal {
           case None if isWavBlob(blob) =>
             decode(blob).map(_ => (id, "audio", blob))
           case None =>
-            decodeAviMeta(blob).flatMap { case (w0, h0, frames) =>
-              aviPayload(blob).map { payload =>
-                val resampled = if (payload.isEmpty) payload else {
-                  val outLen = math.max(16, (payload.length.toLong * (w.toLong * h) /
-                    math.max(1L, w0.toLong * h0)).toInt)
-                  Array.tabulate(outLen) { j =>
-                    payload(((j.toLong * payload.length) / outLen).toInt)
+            decodeAviMeta(blob).flatMap { case (w0, h0, nFrames) =>
+              val chunks = aviFrames(blob)
+              val asPngFrames =
+                if (nFrames > 0 && chunks.size == nFrames)
+                  Some(chunks.flatMap(decodeImage(_))).filter(_.size == nFrames)
+                else None
+              asPngFrames match {
+                case Some(imgs) =>
+                  // motion-PNG: REAL per-frame resample + PNG re-encode
+                  Some((id, "video",
+                    encodeAviFrames(w, h, imgs.map(i => encodePng(resizeImage(i, w, h))))))
+                case None =>
+                  // legacy opaque payload: proportional byte-budget resample
+                  aviPayload(blob).map { payload =>
+                    val resampled = if (payload.isEmpty) payload else {
+                      val outLen = math.max(16, (payload.length.toLong * (w.toLong * h) /
+                        math.max(1L, w0.toLong * h0)).toInt)
+                      Array.tabulate(outLen) { j =>
+                        payload(((j.toLong * payload.length) / outLen).toInt)
+                      }
+                    }
+                    (id, "video", encodeAvi(w, h, nFrames, resampled))
                   }
-                }
-                (id, "video", encodeAvi(w, h, frames, resampled))
               }
             }
         }
       }).toDF("media_id", "kind", "blob")
   }
 
-  /** frame sampling for video blobs: every `stride`-th fixed-size chunk of
-    * the movi payload stands in for a decoded frame — the chunk positions
-    * come from the REAL container header (frame count from `avih`); only
-    * the pixel decode itself is stubbed. */
+  /** frame sampling for video blobs: every `stride`-th '00dc' chunk from
+    * the movi list — for motion-PNG blobs each emitted payload is a REAL
+    * decodable PNG frame (legacy single-chunk AVIs fall back to fixed-size
+    * slices of their one payload). */
   def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) =>
+        val frames = aviFrames(blob)
         decodeAviMeta(blob) match {
+          case Some((_, _, nFrames)) if nFrames > 0 && frames.size == nFrames =>
+            // chunk-per-frame container (motion-PNG): emit the real frames
+            frames.indices.by(stride).map(f => Frame(id, f, frames(f)))
           case Some((_, _, nFrames)) if nFrames > 0 =>
-            val payload = aviPayload(blob).getOrElse(Array.emptyByteArray)
+            // legacy single-chunk payload: fixed-size slices stand in
+            val payload = frames.headOption.getOrElse(Array.emptyByteArray)
             val frameSize = math.max(1, payload.length / nFrames)
             (0 until nFrames by stride).map { f =>
               Frame(id, f, payload.slice(f * frameSize, math.min(payload.length, (f + 1) * frameSize)))

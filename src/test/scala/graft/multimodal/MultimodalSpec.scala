@@ -57,6 +57,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decode(avi.take(30)).isEmpty)
   }
 
+  test("motion-PNG video: every sampled frame is a REAL decodable PNG; resize is per-frame") {
+    val media = Multimodal.syntheticMedia(spark, 60).filter("kind = 'video'")
+    val metas = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("n_frames"))).toMap
+    assert(metas.nonEmpty)
+    val frames = Multimodal.sampleFrames(media, stride = 1).collect()
+    frames.foreach { r =>
+      val img = Multimodal.decodeImage(r.getAs[Array[Byte]]("payload")).get
+      val (w, h, _) = metas(r.getAs[Long]("media_id"))
+      assert(img.getWidth == w && img.getHeight == h, "frame dims must match avih")
+    }
+    val byId = frames.groupBy(_.getAs[Long]("media_id")).view.mapValues(_.length).toMap
+    metas.foreach { case (id, (_, _, nf)) => assert(byId(id) == nf, s"media $id frame count") }
+    // per-frame resize: every frame of the resized container decodes at the
+    // target dims, frame count preserved
+    val rframes = Multimodal.sampleFrames(Multimodal.resize(media, 8, 8), stride = 1).collect()
+    assert(rframes.length == frames.length)
+    rframes.foreach { r =>
+      val img = Multimodal.decodeImage(r.getAs[Array[Byte]]("payload")).get
+      assert(img.getWidth == 8 && img.getHeight == 8)
+    }
+  }
+
+  test("video features come from real first-frame pixels") {
+    val sps = spark; import sps.implicits._
+    // one white 4x4 frame + one black: features = frame 0 luminance = bucket 15
+    val white = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) white.setRGB(x, y, 0xffffff)
+    val black = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val avi = Multimodal.encodeAviFrames(4, 4,
+      Seq(Multimodal.encodePng(white), Multimodal.encodePng(black)))
+    val f = Multimodal.features(
+      spark.createDataset(Seq((1L, avi))).toDF("media_id", "blob")).collect()
+    val v = f.head.getSeq[Float](1)
+    assert(v(15) == 1.0f && v.take(15).forall(_ == 0.0f), v.mkString(","))
+  }
+
   test("malformed blobs are isolated, not fatal") {
     val sps = spark; import sps.implicits._
     val bad = spark.createDataset(Seq(
