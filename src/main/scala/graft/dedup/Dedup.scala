@@ -35,13 +35,16 @@ object Dedup {
   private def textsById(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
 
-  /** MinHash signatures: (doc_id, band, band_hash) rows. */
+  /** MinHash signatures: (doc_id, band, band_hash) rows. Signature is
+    * one-permutation hashing with densification (one hash per shingle
+    * instead of 64 — see [[TextOps.minhashSignatureOph]]): the signature
+    * pass dominates minhash dedup cost at corpus scale. */
   def minhashBands(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val sig = TextOps.minhashSignatureL(TextOps.shingleHashes(text))
+        val sig = TextOps.minhashSignatureOph(TextOps.shingleHashes(text))
         TextOps.bandKeys(sig).map { case (b, h) => (id, b, h) }
       })
       .toDF("doc_id", "band", "band_hash")

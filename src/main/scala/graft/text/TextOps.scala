@@ -193,6 +193,44 @@ object TextOps {
     sig
   }
 
+  /** One-permutation MinHash with rotation densification (Li–Owen–Zhang
+    * OPH; Shrivastava's densification): ONE mixed hash per shingle — its
+    * top 6 bits pick one of the 64 bins, and it competes for that bin's
+    * minimum. Empty bins borrow from the next non-empty bin clockwise,
+    * salted by the borrowing bin's index so borrowed slots stay pairwise
+    * independent for banding. Estimator quality matches 64 independent
+    * permutations while hashing 64× less — the signature pass dominates
+    * MinHash dedup cost at corpus scale, so this is the 100 TB path
+    * ([[minhashSignatureL]] stays as the classic reference; a spec pins
+    * both to the same Jaccard-estimation contract). Deterministic:
+    * output depends only on the input hash SET. */
+  def minhashSignatureOph(hashes: Iterable[Long]): Array[Long] = {
+    val k = MinhashPerms
+    val sig = Array.fill(k)(Long.MaxValue)
+    hashes.foreach { h =>
+      val m = mix64(h)
+      val bin = (m >>> 58).toInt // top 6 bits -> 64 bins
+      if (m < sig(bin)) sig(bin) = m
+    }
+    // rotation densification: empty bin j takes the next occupied bin's
+    // value re-mixed with j (distinct per borrower, deterministic)
+    var anyOccupied = false
+    var i = 0
+    while (i < k && !anyOccupied) { anyOccupied = sig(i) != Long.MaxValue; i += 1 }
+    if (anyOccupied) {
+      var j = 0
+      while (j < k) {
+        if (sig(j) == Long.MaxValue) {
+          var t = 1
+          while (sig((j + t) % k) == Long.MaxValue) t += 1
+          sig(j) = mix64(sig((j + t) % k) ^ (0x9e3779b97f4a7c15L * (j + 1)))
+        }
+        j += 1
+      }
+    }
+    sig
+  }
+
   /** LSH band keys of a signature: (bandIndex, bandHash). */
   def bandKeys(sig: Array[Long]): Vector[(Int, Long)] =
     (0 until MinhashBands).map { b =>

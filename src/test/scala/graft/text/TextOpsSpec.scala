@@ -50,6 +50,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(est - real) < 0.25, s"est $est real $real")
   }
 
+  test("OPH signature estimates Jaccard as well as 64 classic permutations") {
+    // planted-overlap sets with exact Jaccard: |A|=|B|=n sharing s elements
+    // -> j = s / (2n - s). Mean |estimate - truth| over trials must sit
+    // inside the k=64 sampling band for BOTH signatures (σ ≈ √(j(1-j)/64)).
+    val rng = new scala.util.Random(5)
+    for (target <- Seq(0.3, 0.5, 0.8)) {
+      val n = 100
+      val s = math.round(2 * n * target / (1 + target)).toInt
+      val jTrue = s.toDouble / (2 * n - s)
+      var errC = 0.0; var errO = 0.0
+      val trials = 30
+      (1 to trials).foreach { _ =>
+        val shared = Set.fill(s)(rng.nextLong())
+        val a = shared ++ Set.fill(n - s)(rng.nextLong())
+        val b = shared ++ Set.fill(n - s)(rng.nextLong())
+        def est(f: Iterable[Long] => Array[Long]) = {
+          val (sa, sb) = (f(a), f(b))
+          sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+        }
+        errC += math.abs(est(TextOps.minhashSignatureL) - jTrue)
+        errO += math.abs(est(TextOps.minhashSignatureOph) - jTrue)
+      }
+      assert(errO / trials < 0.08, s"OPH mean error ${errO / trials} at j=$jTrue")
+      assert(errO / trials < errC / trials + 0.03,
+        s"OPH (${errO / trials}) must track classic (${errC / trials}) at j=$jTrue")
+    }
+    // determinism + set-order independence
+    val hs = Seq(3L, 9L, 1L, 7L, 5L)
+    assert(TextOps.minhashSignatureOph(hs).sameElements(TextOps.minhashSignatureOph(hs.reverse)))
+    // empty input keeps the empty-sentinel signature (empty-empty pairs band together)
+    assert(TextOps.minhashSignatureOph(Nil).forall(_ == Long.MaxValue))
+  }
+
   test("hyperplane buckets are deterministic and separate far vectors") {
     val v1 = Array.fill(16)(1.0f)
     val v2 = v1.map(-_)
