@@ -114,11 +114,13 @@ object GraphSink {
       try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
     }
 
-    def write(triples: Dataset[Triple], target: String): Unit = {
-      val spark = triples.sparkSession
+    def write(triples: Dataset[Triple], target: String): Unit =
+      commit(triples.repartition(parts, col("subj")), target)
+
+    private def commit(ds: Dataset[Triple], target: String): Unit = {
+      val spark = ds.sparkSession
       val id = snapshots(spark, target).lastOption.getOrElse(0L) + 1
-      triples.repartition(parts, col("subj"))
-        .write.mode(SaveMode.ErrorIfExists).parquet(s"$target/snap=$id")
+      ds.write.mode(SaveMode.ErrorIfExists).parquet(s"$target/snap=$id")
       // data is fully durable before the pointer moves — the commit point
       val f = fs(spark, target)
       val out = f.create(new org.apache.hadoop.fs.Path(s"$target/_current"), true)
@@ -130,6 +132,33 @@ object GraphSink {
 
     def read(spark: SparkSession, target: String): DataFrame =
       readAsOf(spark, target, currentId(spark, target))
+
+    /** Retention: drop all but the newest `keep` snapshots (never the
+      * current pointer's target) — Iceberg's expire_snapshots. Time travel
+      * to an expired id then fails loudly at read. */
+    def expire(spark: SparkSession, target: String, keep: Int): Seq[Long] = {
+      require(keep >= 1, "must keep at least the current snapshot")
+      val f = fs(spark, target)
+      val cur = currentId(spark, target)
+      val victims = snapshots(spark, target).dropRight(keep).filterNot(_ == cur)
+      victims.foreach { id =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$target/snap=$id"), true)
+      }
+      victims
+    }
+
+    /** Compaction (the OPTIMIZE / rewrite_data_files analog): rewrite the
+      * current snapshot's data into `parts` right-sized files and commit
+      * the result as a NEW snapshot — the small-files problem is the
+      * classic failure mode of high-frequency appends at 100 TB (every
+      * tiny file costs a task + a metadata entry on every read). The
+      * rewritten snapshot is a normal commit: same rows, old snapshots
+      * untouched, time travel unaffected. Returns the new snapshot id. */
+    def compact(spark: SparkSession, target: String, compactParts: Int = 8): Long = {
+      import spark.implicits._
+      commit(read(spark, target).as[Triple].repartition(compactParts, col("subj")), target)
+      currentId(spark, target)
+    }
   }
 
   /** Every layout, for parameterized round-trip tests. */

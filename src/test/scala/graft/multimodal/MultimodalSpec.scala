@@ -95,6 +95,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(v(15) == 1.0f && v.take(15).forall(_ == 0.0f), v.mkString(","))
   }
 
+  test("container parsers never throw on fuzzed, truncated, or bit-flipped bytes") {
+    val rng = new scala.util.Random(99)
+    val wav = Multimodal.encodeWav(16000, 1, Array.fill(64)(rng.nextInt(65536).toShort))
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val png = Multimodal.encodePng(img)
+    val avi = Multimodal.encodeAviFrames(8, 8, Seq(png, png))
+    def probe(b: Array[Byte]): Unit = { // every parser path, must not throw
+      Multimodal.decode(b); Multimodal.aviFrames(b); Multimodal.aviPayload(b)
+      Multimodal.decodeAviMeta(b); Multimodal.decodeAudioMeta(b); Multimodal.decodeImage(b)
+    }
+    (1 to 300).foreach(_ => probe(Array.fill(rng.nextInt(200))(rng.nextInt().toByte)))
+    Seq(wav, png, avi).foreach { blob =>
+      (0 until blob.length by math.max(1, blob.length / 25)).foreach(n => probe(blob.take(n)))
+      (1 to 50).foreach { _ =>
+        val mutated = blob.clone()
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt().toByte
+        probe(mutated)
+      }
+    }
+  }
+
   test("malformed blobs are isolated, not fatal") {
     val sps = spark; import sps.implicits._
     val bad = spark.createDataset(Seq(

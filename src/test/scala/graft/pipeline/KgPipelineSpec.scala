@@ -130,6 +130,30 @@ class KgPipelineSpec extends SparkTestBase {
     assert(canon(sink.readAsOf(spark, dir, 2L)) == canon(t2.toDF()))
   }
 
+  test("snapshot compaction rewrites small files as a new commit; expiry drops old snapshots") {
+    val sink = new GraphSink.Snapshotted(parts = 16) // deliberately many small files
+    val dir = Files.createTempDirectory("graph_compact").toString + "/g"
+    val t1 = KgPipeline.triples(spark, 150)
+    sink.write(t1, dir)
+    def partFiles(id: Long): Int =
+      new java.io.File(s"$dir/snap=$id").listFiles().count(_.getName.endsWith(".parquet"))
+    val before = partFiles(1)
+    assert(before > 4, s"fixture should start fragmented, had $before files")
+
+    val compacted = sink.compact(spark, dir, compactParts = 2)
+    assert(compacted == 2L && sink.currentId(spark, dir) == 2L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(canon(sink.read(spark, dir)) == canon(t1.toDF()), "compaction must not change rows")
+    assert(partFiles(2) <= 2 && partFiles(2) < before, s"${partFiles(2)} vs $before")
+
+    sink.write(t1, dir) // snap=3
+    assert(sink.expire(spark, dir, keep = 2) == Seq(1L))
+    assert(sink.snapshots(spark, dir) == Seq(2L, 3L))
+    // time travel to the expired snapshot fails loudly, current reads fine
+    intercept[Exception] { sink.readAsOf(spark, dir, 1L).collect() }
+    assert(canon(sink.read(spark, dir)) == canon(t1.toDF()))
+  }
+
   test("salted write spreads skewed subjects across partitions") {
     val sps = spark; import sps.implicits._
     val tr = KgPipeline.triples(spark, N)
