@@ -282,6 +282,31 @@ object SparkEntry {
           Seq("event_id"), toleranceSec = Some(203))
         .select(col("event_id"), col("asof_event_id").as("view_event_id"))
     }),
+    "ev_value_1h_running" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // RANGE-frame window: per user, the running 1-hour sum of event value
+      // — a time-range frame over µs epochs (rowsBetween cannot express
+      // this; the frame is value-based). Cents-exact like every money agg.
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("bigint"))
+        .select(col("event_id"),
+          sum("cents").over(w).as("value_1h_cents"))
+    }),
+    "q_rank_stats" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // analytic rank family over customers per nation: ntile quartiles,
+      // percent_rank, cume_dist — exact rational doubles from identical
+      // integer ranks on both engines
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+      t(dir, "customer").select(
+        col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
     "ev_sessions" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
@@ -1217,6 +1242,19 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type='purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "ev_value_1h_running" ->
+      """SELECT event_id,
+              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS value_1h_cents
+         FROM events""",
+    "q_rank_stats" ->
+      """SELECT c_custkey,
+              NTILE(4) OVER w AS quartile,
+              PERCENT_RANK() OVER w AS pct_rank,
+              CUME_DIST() OVER w AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""",
     "ev_sessions" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
            SELECT user_id,
