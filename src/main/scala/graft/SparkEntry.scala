@@ -113,6 +113,30 @@ object SparkEntry {
           Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap), iters = 5)
         .withColumnRenamed("node", "entity_iri")
     }),
+    "kg_two_hop" -> ((s, dir) => {
+      // 2-hop neighborhood over the co-mention graph from each of the 5
+      // lexicographically-first entities: the KG traversal staple, two
+      // equi-join expansions + distinct (no cross products; at 100 TB the
+      // bucketed-by-subject layout makes these joins shuffle-free —
+      // KgPipelineSpec locks that property)
+      val links = KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
+        PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
+        .localCheckpoint()
+      val e0 = Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap)
+      val edges = Triangles.canonical(e0).localCheckpoint()
+      val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("seed"))
+        .unionAll(edges.select(col("dst").as("seed")))
+        .distinct().orderBy("seed").limit(5)
+      val hop1 = seeds.join(sym, col("seed") === col("src")).select(col("seed"), col("dst").as("n1"))
+      val hop2 = hop1.join(sym.withColumnRenamed("src", "n1").withColumnRenamed("dst", "n2"), "n1")
+      hop1.select(col("seed"), col("n1").as("entity"))
+        .unionAll(hop2.select(col("seed"), col("n2").as("entity")))
+        .filter(col("entity") =!= col("seed"))
+        .distinct()
+        .groupBy("seed").agg(count(lit(1)).as("n_within_2_hops"))
+    }),
     "kg_link_precision_recall" -> ((s, dir) => {
       import s.implicits._
       val n = PagesSynth.pageCount(dir)
@@ -922,6 +946,23 @@ object SparkEntry {
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "kg_pagerank" -> pagerankOracleSql(5),
+    "kg_two_hop" ->
+      """WITH l0 AS (SELECT DISTINCT url, entity_iri
+                     FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              l AS (SELECT url, entity_iri FROM (
+                      SELECT url, entity_iri,
+                             ROW_NUMBER() OVER (PARTITION BY url ORDER BY entity_iri) AS rn
+                      FROM l0) WHERE rn <= 64),
+              e AS (SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
+                    FROM l a JOIN l b ON a.url = b.url AND a.entity_iri < b.entity_iri),
+              sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+              seeds AS (SELECT DISTINCT src AS seed FROM sym ORDER BY seed LIMIT 5),
+              h1 AS (SELECT seed, dst AS n1 FROM seeds JOIN sym ON sym.src = seed),
+              h2 AS (SELECT h1.seed, sym.dst AS n2 FROM h1 JOIN sym ON sym.src = h1.n1),
+              reach AS (SELECT seed, n1 AS entity FROM h1
+                        UNION SELECT seed, n2 FROM h2)
+         SELECT seed, COUNT(*) AS n_within_2_hops
+         FROM reach WHERE entity <> seed GROUP BY seed""",
     "doc_sample_stratified" ->
       """SELECT doc_id, lang,
            (ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 100 <

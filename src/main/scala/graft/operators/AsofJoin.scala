@@ -33,7 +33,13 @@ object AsofJoin {
       leftTs: String, rightTs: String, rightPayload: Seq[String],
       toleranceSec: Option[Long] = None): DataFrame = {
 
+    val reserved = Set("__k", "__ts", "__side", "__rp", "__lrow", "__match")
+    val clash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(clash.isEmpty, s"input uses reserved column(s): ${clash.mkString(",")}")
     val payloadCols = (rightTs +: rightPayload.filterNot(_ == rightTs)).distinct
+    val outClash = payloadCols.map(c => s"asof_$c").toSet.intersect(left.columns.toSet)
+    require(outClash.isEmpty,
+      s"left input collides with generated output column(s): ${outClash.mkString(",")}")
     val rpType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
     val lrowType = left.select(struct(left.columns.map(col).toIndexedSeq: _*)).schema.head.dataType
 

@@ -87,6 +87,19 @@ class AsofJoinSpec extends SparkTestBase {
     out.foreach(r => assert(r.getLong(1) == r.getLong(0) * 1000 + 500, r.toString))
   }
 
+  test("reserved/colliding column names are rejected loudly") {
+    val sps = spark; import sps.implicits._
+    val (left, right) = fixture()
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(left.withColumn("__match", org.apache.spark.sql.functions.lit(1)),
+        right, "k", "t", "t", Seq("rv"))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(left.withColumn("asof_rv", org.apache.spark.sql.functions.lit(1)),
+        right, "k", "t", "t", Seq("rv"))
+    }
+  }
+
   test("as-of join agrees with a brute-force computation on events data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val purchases = ev.filter("event_type = 'purchase'")
