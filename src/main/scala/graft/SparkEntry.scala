@@ -776,6 +776,13 @@ object SparkEntry {
       graft.cj.CjSpark.convert(graft.cj.CjSpark.referenceCorpus(s))
         .groupBy("pred").agg(count(lit(1)).as("n_triples"))
     }),
+    "cj_triples_by_pred_dsv2" -> ((s, dir) => {
+      // the DataSource V2 connector path (spark.read.format("cityjson")):
+      // same conversion semantics as cj_triples_by_pred, so the two share
+      // one golden oracle — regression-locks connector == mapPartitions
+      s.read.format("cityjson").load("/root/reference/examples")
+        .groupBy("pred").agg(count(lit(1)).as("n_triples"))
+    }),
     "cj_doc_stats" -> ((s, dir) => {
       graft.cj.CjSpark.convertStats(graft.cj.CjSpark.referenceCorpus(s)).toDF()
     }),
@@ -942,7 +949,9 @@ object SparkEntry {
     ("doc_bloom_decontaminate" -> baseOracleSql("doc_decontaminate")) +
     // log-star contraction computes the identical component labeling, so it
     // shares the recursive-CTE closure oracle
-    ("doc_dup_components_logstar" -> baseOracleSql("doc_dup_components"))
+    ("doc_dup_components_logstar" -> baseOracleSql("doc_dup_components")) +
+    // the DSv2 connector emits the same triples as the mapPartitions path
+    ("cj_triples_by_pred_dsv2" -> baseOracleSql("cj_triples_by_pred"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "kg_pagerank" -> pagerankOracleSql(5),
