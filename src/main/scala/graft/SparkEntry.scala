@@ -99,6 +99,20 @@ object SparkEntry {
       Triangles.count(
         Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap))
     }),
+    "kg_degree_hist" -> ((s, dir) => {
+      // degree distribution of the co-mention graph (the first thing anyone
+      // plots over a new KG): canonical edges → per-node degree → histogram
+      val links = KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
+        PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
+        .localCheckpoint()
+      val edges = Triangles.canonical(
+        Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap))
+      edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    }),
     "kg_pagerank" -> ((s, dir) => {
       // entity importance over the co-mention graph: fixed-iteration
       // PageRank in exact integer (micro-rank) arithmetic — deterministic
@@ -330,6 +344,22 @@ object SparkEntry {
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cume"))
+    }),
+    "ev_funnel" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // ordered-stage funnel (signup → view → purchase by FIRST occurrence
+      // per user): one conditional-min aggregation per user + a global
+      // rollup — one shuffle, no self-joins; NULL stage times fall out of
+      // the strict < comparisons identically on both engines
+      t(dir, "events").groupBy("user_id").agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("t_signup") < col("t_view"), 1L).otherwise(0L)).as("n_signup_then_view"),
+          sum(when(col("t_signup") < col("t_view") && col("t_view") < col("t_purchase"), 1L)
+            .otherwise(0L)).as("n_full_funnel"))
     }),
     "ev_sessions" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1305,6 +1335,31 @@ object SparkEntry {
               CUME_DIST() OVER w AS cume
          FROM customer
          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""",
+    "ev_funnel" ->
+      """WITH u AS (SELECT user_id,
+                           MIN(CASE WHEN event_type='signup' THEN ts END) AS t_signup,
+                           MIN(CASE WHEN event_type='view' THEN ts END) AS t_view,
+                           MIN(CASE WHEN event_type='purchase' THEN ts END) AS t_purchase
+                    FROM events GROUP BY user_id)
+         SELECT COUNT(*) AS n_users,
+                CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(SUM(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_then_view,
+                CAST(SUM(CASE WHEN t_signup < t_view AND t_view < t_purchase
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+         FROM u""",
+    "kg_degree_hist" ->
+      """WITH l0 AS (SELECT DISTINCT url, entity_iri
+                     FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              l AS (SELECT url, entity_iri FROM (
+                      SELECT url, entity_iri,
+                             ROW_NUMBER() OVER (PARTITION BY url ORDER BY entity_iri) AS rn
+                      FROM l0) WHERE rn <= 64),
+              e AS (SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
+                    FROM l a JOIN l b ON a.url = b.url AND a.entity_iri < b.entity_iri),
+              d AS (SELECT node, COUNT(*) AS degree FROM (
+                      SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t
+                    GROUP BY node)
+         SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY degree""",
     "ev_sessions" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
            SELECT user_id,
