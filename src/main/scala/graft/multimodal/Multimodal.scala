@@ -131,15 +131,20 @@ object Multimodal {
   def encodeAviFrames(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
     val avihData = aviMainHeader(width, height, frames.size)
     val hdrlLen = 4 + (8 + avihData.length)
-    val framesPadded = frames.map(f => if (f.length % 2 == 1) f :+ 0.toByte else f)
-    val moviLen = 4 + framesPadded.map(8 + _.length).sum
+    // RIFF convention: the chunk size is the UNPADDED payload length; the
+    // word-alignment pad byte sits outside it. Declaring the padded length
+    // would make extracted frames diverge from the encoded PNGs by one byte.
+    val moviLen = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
     val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
     val bb = java.nio.ByteBuffer.allocate(8 + riffLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes).putInt(riffLen).put("AVI ".getBytes)
     bb.put("LIST".getBytes).putInt(hdrlLen).put("hdrl".getBytes)
     bb.put("avih".getBytes).putInt(avihData.length).put(avihData)
     bb.put("LIST".getBytes).putInt(moviLen).put("movi".getBytes)
-    framesPadded.foreach(f => bb.put("00dc".getBytes).putInt(f.length).put(f))
+    frames.foreach { f =>
+      bb.put("00dc".getBytes).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
     bb.array()
   }
 
@@ -163,15 +168,16 @@ object Multimodal {
   def encodeAvi(width: Int, height: Int, frames: Int, payload: Array[Byte]): Array[Byte] = {
     val avihData = aviMainHeader(width, height, frames)
     val hdrlLen = 4 + (8 + avihData.length)          // 'hdrl' + avih chunk
-    val moviPayload = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
-    val moviLen = 4 + (8 + moviPayload.length)       // 'movi' + 00dc chunk
+    val pad = payload.length & 1                     // word-align pad OUTSIDE the declared size
+    val moviLen = 4 + (8 + payload.length + pad)     // 'movi' + 00dc chunk
     val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)  // 'AVI ' + two LISTs
     val bb = java.nio.ByteBuffer.allocate(8 + riffLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes).putInt(riffLen).put("AVI ".getBytes)
     bb.put("LIST".getBytes).putInt(hdrlLen).put("hdrl".getBytes)
     bb.put("avih".getBytes).putInt(avihData.length).put(avihData)
     bb.put("LIST".getBytes).putInt(moviLen).put("movi".getBytes)
-    bb.put("00dc".getBytes).putInt(moviPayload.length).put(moviPayload)
+    bb.put("00dc".getBytes).putInt(payload.length).put(payload)
+    if (pad == 1) bb.put(0.toByte)
     bb.array()
   }
 
@@ -181,31 +187,35 @@ object Multimodal {
   def decodeAviMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (!isAviBlob(bytes)) return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def walk(off: Int, end: Int): Option[(Int, Int, Int)] = {
-      var o = off
-      while (o + 8 <= end) {
+    val riffLen = bb.getInt(4)
+    if (riffLen < 4 || 8L + riffLen > bytes.length) return None
+    // iterative DFS with an explicit range stack: a crafted blob nesting
+    // LIST('hdrl') ~12 bytes per level must degrade to None, never blow the
+    // JVM stack (the 'malformed input is never fatal' contract). Descending
+    // pushes the remainder of the parent range, exactly emulating recursion;
+    // a malformed chunk abandons only its own range (the recursive None).
+    var o = 12
+    var end = math.min(bytes.length, 8 + riffLen)
+    var stack = List.empty[(Int, Int)]
+    var abandon = false
+    while (o + 8 <= end || stack.nonEmpty) {
+      if (abandon || o + 8 > end) {
+        if (stack.isEmpty) return None
+        val h = stack.head; stack = stack.tail
+        o = h._1; end = h._2; abandon = false
+      } else {
         val id = fourcc(bytes, o)
         val len = bb.getInt(o + 4)
-        if (len < 0 || o + 8 + len > end) return None
-        if (id == "LIST" && len >= 4) {
-          val listType = fourcc(bytes, o + 8)
-          if (listType == "hdrl") {
-            val r = walk(o + 12, o + 8 + len)
-            if (r.isDefined) return r
-          }
+        if (len < 0 || o.toLong + 8 + len > end) abandon = true
+        else if (id == "LIST" && len >= 4 && fourcc(bytes, o + 8) == "hdrl") {
+          stack = (o + 8 + len + (len & 1), end) :: stack
+          end = o + 8 + len; o = o + 12 // descend
         } else if (id == "avih" && len >= 40) {
-          val frames = bb.getInt(o + 8 + 16)
-          val w = bb.getInt(o + 8 + 32)
-          val h = bb.getInt(o + 8 + 36)
-          return Some((w, h, frames))
-        }
-        o += 8 + len + (len & 1) // chunks are word-aligned
+          return Some((bb.getInt(o + 8 + 32), bb.getInt(o + 8 + 36), bb.getInt(o + 8 + 16)))
+        } else o += 8 + len + (len & 1) // chunks are word-aligned
       }
-      None
     }
-    val riffLen = bb.getInt(4)
-    if (riffLen < 4 || 8 + riffLen > bytes.length) None
-    else walk(12, math.min(bytes.length, 8 + riffLen))
+    None
   }
 
   /** All '00dc' frame chunks inside LIST('movi'), in stream order — for a
@@ -213,30 +223,60 @@ object Multimodal {
   def aviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
     if (!isAviBlob(bytes)) return Nil
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val riffLen = bb.getInt(4)
+    if (riffLen < 4 || 8L + riffLen > bytes.length) return Nil
+    // iterative DFS (see decodeAviMeta): stream order preserved, unbounded
+    // LIST nesting cannot overflow the JVM stack. Malformed anywhere → Nil
+    // (the recursive version's false-propagates-to-top contract).
     val out = Vector.newBuilder[Array[Byte]]
-    def walk(off: Int, end: Int, inMovi: Boolean): Boolean = { // false = malformed
-      var o = off
-      while (o + 8 <= end) {
+    var o = 12
+    var end = math.min(bytes.length, 8 + riffLen)
+    var inMovi = false
+    var stack = List.empty[(Int, Int, Boolean)]
+    while (o + 8 <= end || stack.nonEmpty) {
+      if (o + 8 > end) {
+        val h = stack.head; stack = stack.tail
+        o = h._1; end = h._2; inMovi = h._3
+      } else {
         val id = fourcc(bytes, o)
         val len = bb.getInt(o + 4)
-        if (len < 0 || o + 8 + len > end) return false
+        if (len < 0 || o.toLong + 8 + len > end) return Nil
         if (id == "LIST" && len >= 4 && fourcc(bytes, o + 8) == "movi") {
-          if (!walk(o + 12, o + 8 + len, inMovi = true)) return false
-        } else if (id == "00dc" && inMovi) {
-          out += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + len)
+          stack = (o + 8 + len + (len & 1), end, inMovi) :: stack
+          end = o + 8 + len; o = o + 12; inMovi = true // descend
+        } else {
+          if (id == "00dc" && inMovi)
+            out += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + len)
+          o += 8 + len + (len & 1)
         }
-        o += 8 + len + (len & 1)
       }
-      true
     }
-    val riffLen = bb.getInt(4)
-    if (riffLen < 4 || 8 + riffLen > bytes.length) Nil
-    else if (walk(12, math.min(bytes.length, 8 + riffLen), inMovi = false)) out.result()
-    else Nil
+    out.result()
   }
 
   /** The first '00dc' chunk's bytes (legacy single-payload accessor). */
   def aviPayload(bytes: Array[Byte]): Option[Array[Byte]] = aviFrames(bytes).headOption
+
+  /** Legacy GRFT container fields: (kind, width, height, frames, payload). */
+  private def grftParts(bytes: Array[Byte]): Option[(Char, Int, Int, Int, Array[Byte])] =
+    if (bytes == null || bytes.length < 17 || !bytes.take(4).sameElements(Magic)) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(4)
+      Some((bb.get().toChar, bb.getInt(), bb.getInt(), bb.getInt(),
+        java.util.Arrays.copyOfRange(bytes, 17, bytes.length)))
+    }
+
+  /** Proportional byte-budget resample of an opaque payload: `outLen` bytes
+    * index-sampled from the source — the fallback "resize" for containers
+    * whose pixels cannot be decoded (legacy GRFT, opaque AVI payloads). */
+  private def byteResample(payload: Array[Byte], w0: Int, h0: Int, w: Int, h: Int): Array[Byte] =
+    if (payload.isEmpty) payload
+    else {
+      val outLen = math.max(16, (payload.length.toLong * (w.toLong * h) /
+        math.max(1L, w0.toLong * h0)).toInt)
+      Array.tabulate(outLen)(j => payload(((j.toLong * payload.length) / outLen).toInt))
+    }
 
   // ---------------------------------------------------------------- decode
 
@@ -391,10 +431,11 @@ object Multimodal {
 
   /** resize to (w, h): REAL nearest-neighbor resample + PNG re-encode for
     * images; for motion-PNG videos EVERY frame is decoded, resampled and
-    * re-encoded into a target-dimension container (legacy opaque payloads
-    * fall back to a proportional byte-budget resample); audio has no
-    * spatial dimensions and passes through unchanged. Undecodable blobs
-    * are dropped, mirroring decodeMeta's error isolation. */
+    * re-encoded into a target-dimension container (legacy opaque AVI
+    * payloads and GRFT containers fall back to a proportional byte-budget
+    * resample); audio has no spatial dimensions and passes through
+    * unchanged. Undecodable blobs are dropped, mirroring decodeMeta's
+    * error isolation. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -420,15 +461,18 @@ object Multimodal {
                 case None =>
                   // legacy opaque payload: proportional byte-budget resample
                   aviPayload(blob).map { payload =>
-                    val resampled = if (payload.isEmpty) payload else {
-                      val outLen = math.max(16, (payload.length.toLong * (w.toLong * h) /
-                        math.max(1L, w0.toLong * h0)).toInt)
-                      Array.tabulate(outLen) { j =>
-                        payload(((j.toLong * payload.length) / outLen).toInt)
-                      }
-                    }
-                    (id, "video", encodeAvi(w, h, nFrames, resampled))
+                    (id, "video", encodeAvi(w, h, nFrames, byteResample(payload, w0, h0, w, h)))
                   }
+              }
+            }.orElse {
+              // legacy GRFT container (docstring contract: byte-level
+              // fallback): audio passes through, image/video payloads get
+              // the proportional byte-budget resample, re-wrapped GRFT
+              grftParts(blob).collect {
+                case ('a', _, _, _, _) => (id, "audio", blob)
+                case (k @ ('i' | 'v'), w0, h0, nf, payload) =>
+                  val kind = if (k == 'i') "image" else "video"
+                  (id, kind, encodeFake(kind, w, h, nf, byteResample(payload, w0, h0, w, h)))
               }
             }
         }
@@ -444,6 +488,12 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) =>
+        def slices(payload: Array[Byte], nFrames: Int): Seq[Frame] = {
+          val frameSize = math.max(1, payload.length / nFrames)
+          (0 until nFrames by stride).map { f =>
+            Frame(id, f, payload.slice(f * frameSize, math.min(payload.length, (f + 1) * frameSize)))
+          }
+        }
         val frames = aviFrames(blob)
         decodeAviMeta(blob) match {
           case Some((_, _, nFrames)) if nFrames > 0 && frames.size == nFrames =>
@@ -451,12 +501,13 @@ object Multimodal {
             frames.indices.by(stride).map(f => Frame(id, f, frames(f)))
           case Some((_, _, nFrames)) if nFrames > 0 =>
             // legacy single-chunk payload: fixed-size slices stand in
-            val payload = frames.headOption.getOrElse(Array.emptyByteArray)
-            val frameSize = math.max(1, payload.length / nFrames)
-            (0 until nFrames by stride).map { f =>
-              Frame(id, f, payload.slice(f * frameSize, math.min(payload.length, (f + 1) * frameSize)))
+            slices(frames.headOption.getOrElse(Array.emptyByteArray), nFrames)
+          case _ =>
+            // legacy GRFT video (docstring contract: byte-level fallback)
+            grftParts(blob) match {
+              case Some(('v', _, _, nFrames, payload)) if nFrames > 0 => slices(payload, nFrames)
+              case _ => Nil
             }
-          case _ => Nil
         }
       }).toDF()
   }

@@ -109,9 +109,26 @@ object GraphSink {
     def currentId(spark: SparkSession, target: String): Long = {
       val f = fs(spark, target)
       val ptr = new org.apache.hadoop.fs.Path(s"$target/_current")
-      require(f.exists(ptr), s"no committed snapshot at $target")
-      val in = f.open(ptr)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      // pointer read is best-effort: commit() renames the pointer into place
+      // atomically, but a reader racing the delete+rename fallback (needed on
+      // filesystems whose rename refuses to overwrite) or hitting a torn
+      // pointer falls back to the newest FULLY-COMMITTED snapshot — one whose
+      // parquet write finished (_SUCCESS present)
+      val fromPtr =
+        try {
+          if (!f.exists(ptr)) None
+          else {
+            val in = f.open(ptr)
+            val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+            if (s.isEmpty) None else Some(s.toLong)
+          }
+        } catch { case _: java.io.IOException | _: NumberFormatException => None }
+      fromPtr.getOrElse {
+        val complete = snapshots(spark, target).filter(id =>
+          f.exists(new org.apache.hadoop.fs.Path(s"$target/snap=$id/_SUCCESS")))
+        require(complete.nonEmpty, s"no committed snapshot at $target")
+        complete.last
+      }
     }
 
     def write(triples: Dataset[Triple], target: String): Unit =
@@ -121,10 +138,21 @@ object GraphSink {
       val spark = ds.sparkSession
       val id = snapshots(spark, target).lastOption.getOrElse(0L) + 1
       ds.write.mode(SaveMode.ErrorIfExists).parquet(s"$target/snap=$id")
-      // data is fully durable before the pointer moves — the commit point
+      // data is fully durable before the pointer moves. The pointer itself is
+      // committed by RENAME (the atomic step on HDFS/local FS) — an in-place
+      // create() truncates first, so a concurrent reader could observe an
+      // empty pointer. Filesystems whose rename refuses to overwrite take
+      // the delete+rename fallback; currentId covers that window by falling
+      // back to the newest complete snapshot.
       val f = fs(spark, target)
-      val out = f.create(new org.apache.hadoop.fs.Path(s"$target/_current"), true)
+      val tmp = new org.apache.hadoop.fs.Path(s"$target/_current.tmp")
+      val cur = new org.apache.hadoop.fs.Path(s"$target/_current")
+      val out = f.create(tmp, true)
       try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+      if (!f.rename(tmp, cur)) {
+        f.delete(cur, false)
+        require(f.rename(tmp, cur), s"could not commit snapshot pointer at $cur")
+      }
     }
 
     def readAsOf(spark: SparkSession, target: String, id: Long): DataFrame =

@@ -31,7 +31,11 @@ object GenFrozen {
     "mm_decode_meta", "mm_features", "mm_frame_sample", "mm_resize")
 
   def main(args: Array[String]): Unit = {
-    val sfDirs = if (args.nonEmpty) args.toSeq
+    // --common-only: regenerate just the sf-independent mm_* fixtures (after
+    // a Multimodal codec change) without touching the sf-keyed text oracles
+    val commonOnly = args.contains("--common-only")
+    val dirArgs = args.filterNot(_.startsWith("--")).toSeq
+    val sfDirs = if (dirArgs.nonEmpty) dirArgs
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val root = Paths.get("golden/frozen")
     val spark = SparkSession.builder().master("local[8]")
@@ -58,7 +62,7 @@ object GenFrozen {
       println(s"frozen: $name -> ${outDir.resolve(s"$name.parquet")}")
     }
 
-    sfDirs.foreach { sfDir =>
+    if (!commonOnly) sfDirs.foreach { sfDir =>
       val sf = Paths.get(sfDir).getFileName.toString
       SfQueries.foreach(freeze(_, sfDir, root.resolve(sf)))
     }

@@ -116,6 +116,70 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("deeply nested LIST chunks degrade to None/Nil, never StackOverflowError") {
+    // 40k nesting levels at ~12 bytes each would blow a recursive walk's
+    // JVM stack; the iterative walk must just find nothing
+    def nested(listType: String, depth: Int): Array[Byte] = {
+      val innerLen = 4 + 12 * depth // each level: LIST hdr (8) + type (4)
+      val riffLen = 4 + 8 + innerLen
+      val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(riffLen).put("AVI ".getBytes)
+      var remaining = innerLen
+      (0 until depth).foreach { _ =>
+        bb.put("LIST".getBytes).putInt(remaining).put(listType.getBytes)
+        remaining -= 12
+      }
+      bb.array()
+    }
+    Seq("hdrl", "movi").foreach { lt =>
+      val blob = nested(lt, 40000)
+      assert(Multimodal.decodeAviMeta(blob).isEmpty)
+      assert(Multimodal.aviFrames(blob).isEmpty)
+      assert(Multimodal.decode(blob).isEmpty)
+    }
+  }
+
+  test("extracted frames are byte-identical to the encoded PNGs (odd lengths padded outside the chunk size)") {
+    val rng = new scala.util.Random(7)
+    // force at least one odd-length frame payload
+    val frames = Seq(Array.fill(33)(rng.nextInt().toByte), Array.fill(64)(rng.nextInt().toByte),
+      Array.fill(121)(rng.nextInt().toByte))
+    val avi = Multimodal.encodeAviFrames(4, 4, frames)
+    val back = Multimodal.aviFrames(avi)
+    assert(back.size == frames.size)
+    frames.zip(back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "frame bytes must round-trip exactly")
+    }
+    assert(Multimodal.decodeAviMeta(avi).contains((4, 4, 3)))
+  }
+
+  test("legacy GRFT containers keep their byte-level fallbacks in sampleFrames and resize") {
+    val sps = spark; import sps.implicits._
+    val payload = Array.tabulate(160)(_.toByte)
+    val media = spark.createDataset(Seq(
+      (1L, Multimodal.encodeFake("video", 8, 8, 4, payload)),
+      (2L, Multimodal.encodeFake("audio", 0, 0, 0, payload)),
+      (3L, Multimodal.encodeFake("image", 8, 8, 1, payload)))).toDF("media_id", "blob")
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.map(_.getAs[Long]("media_id")).toSet == Set(1L), "only the video yields frames")
+    assert(frames.map(_.getAs[Int]("frame_index")).sorted.toSeq == Seq(0, 2))
+    assert(frames.forall(_.getAs[Array[Byte]]("payload").length == 40))
+    val resized = Multimodal.resize(media, 4, 4).collect()
+    assert(resized.length == 3, "GRFT blobs must not be dropped by resize")
+    val byId = resized.map(r => r.getAs[Long]("media_id") ->
+      (r.getAs[String]("kind"), r.getAs[Array[Byte]]("blob"))).toMap
+    assert(byId(2L)._1 == "audio" && java.util.Arrays.equals(
+      byId(2L)._2, Multimodal.encodeFake("audio", 0, 0, 0, payload)))
+    // quarter the pixel budget -> quarter the payload bytes (floor at 16)
+    Seq(1L -> "video", 3L -> "image").foreach { case (id, kind) =>
+      assert(byId(id)._1 == kind)
+      val meta = Multimodal.decode(byId(id)._2).get
+      assert(meta.kind == kind && meta.width == 4 && meta.height == 4)
+      assert(byId(id)._2.length == 17 + 40, s"media $id: ${byId(id)._2.length}")
+    }
+  }
+
   test("malformed blobs are isolated, not fatal") {
     val sps = spark; import sps.implicits._
     val bad = spark.createDataset(Seq(

@@ -130,6 +130,26 @@ class KgPipelineSpec extends SparkTestBase {
     assert(canon(sink.readAsOf(spark, dir, 2L)) == canon(t2.toDF()))
   }
 
+  test("snapshot pointer commits by rename; a torn pointer falls back to the newest complete snapshot") {
+    val sink = new GraphSink.Snapshotted(parts = 2)
+    val dir = Files.createTempDirectory("graph_ptr").toString + "/g"
+    val t1 = KgPipeline.triples(spark, 80)
+    sink.write(t1, dir)
+    sink.write(t1, dir)
+    // the tmp pointer never lingers after a successful commit
+    assert(!new java.io.File(s"$dir/_current.tmp").exists())
+    assert(sink.currentId(spark, dir) == 2L)
+    // simulate the torn-pointer window (reader racing create-truncate or the
+    // delete+rename fallback): an empty pointer must resolve to the newest
+    // snapshot whose parquet write completed, not crash on "".toLong
+    val ptr = new java.io.FileOutputStream(s"$dir/_current"); ptr.close()
+    assert(sink.currentId(spark, dir) == 2L)
+    assert(sink.read(spark, dir).count() == t1.count())
+    // a missing pointer (deleted mid-swap) resolves the same way
+    assert(new java.io.File(s"$dir/_current").delete())
+    assert(sink.currentId(spark, dir) == 2L)
+  }
+
   test("snapshot compaction rewrites small files as a new commit; expiry drops old snapshots") {
     val sink = new GraphSink.Snapshotted(parts = 16) // deliberately many small files
     val dir = Files.createTempDirectory("graph_compact").toString + "/g"
