@@ -10,6 +10,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 batch source for CityJSON corpora — the Spark-native form
   * of the reference's JSON file source (SURVEY §2.1 S1):
@@ -17,14 +18,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{ spark.read.format("cityjson").load("/data/cities") }}}
   *
   * yields one row per emitted triple, `(doc_iri, subj, pred, obj_iri,
-  * obj_lit, obj_type)`, converted on EXECUTORS (one input partition per
-  * document file, so a city corpus parallelizes by document exactly like
-  * the binaryFile + mapPartitions path it complements). Column pruning is
-  * pushed into the reader (`SupportsPushDownRequiredColumns`): a
-  * `select(pred)` materializes only the pruned columns per row.
+  * obj_lit, obj_type)`, converted on EXECUTORS. Column pruning is pushed
+  * into the reader (`SupportsPushDownRequiredColumns`): a `select(pred)`
+  * materializes only the pruned columns per row.
+  *
+  * Deployability contract (the parts a laptop test never exercises):
+  *  - the session's Hadoop configuration is captured ONCE at scan build
+  *    (`SparkSession.sessionState.newHadoopConf()`, which folds in
+  *    `spark.hadoop.*` SQL conf) and shipped to executors via
+  *    [[SerializableConfiguration]] — object-store credentials and custom
+  *    filesystem schemes resolve on the reader exactly as on the driver;
+  *  - listing is RECURSIVE (`fs.listFiles(path, true)`), matching how a
+  *    city corpus is laid out in dated/partitioned subdirectories;
+  *  - files are packed into size-binned input partitions the way Spark's
+  *    own file-scan planner does it (`maxSplitBytes = min(maxPartitionBytes,
+  *    max(openCostInBytes, total/defaultParallelism))`, biggest-first greedy
+  *    fill): a 10⁶-tiny-document corpus plans O(cores) multi-file
+  *    partitions instead of 10⁶ single-file tasks.
+  *
   * Conversion semantics are [[CjConvert]] — identical to every other entry
-  * point (spec-locked against `CjSpark.convert`); doc-level failures
-  * follow the reference's NULL-model contract and emit zero rows.
+  * point (spec-locked against `CjSpark.convert`); doc-level failures follow
+  * the reference's NULL-model contract and emit zero rows.
   */
 class CityJsonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "cityjson"
@@ -48,6 +62,34 @@ object CityJsonSource {
     val name = path.substring(path.lastIndexOf('/') + 1)
     s"cj:${name.stripSuffix(".city.json").stripSuffix(".json")}"
   }
+
+  /** Spark-planner-style size binning: biggest-first greedy fill into bins
+    * of `maxSplitBytes`, every file costed at (len + openCost) so a sea of
+    * tiny files still amortizes task startup. Deterministic (stable input
+    * order, stable sort). */
+  private[cj] def packPartitions(files: Seq[(String, Long)], maxPartitionBytes: Long,
+      openCostInBytes: Long, minPartitionNum: Int): Array[Array[String]] = {
+    if (files.isEmpty) return Array.empty
+    val totalBytes = files.map(_._2 + openCostInBytes).sum
+    val maxSplitBytes = math.min(maxPartitionBytes,
+      math.max(openCostInBytes, totalBytes / math.max(1, minPartitionNum)))
+    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
+    var current = scala.collection.mutable.ArrayBuffer.empty[String]
+    var currentBytes = 0L
+    // biggest-first: large docs seed their own bins, small docs backfill
+    files.sortBy { case (p, len) => (-len, p) }.foreach { case (p, len) =>
+      val cost = len + openCostInBytes
+      if (current.nonEmpty && currentBytes + cost > maxSplitBytes) {
+        bins += current
+        current = scala.collection.mutable.ArrayBuffer.empty[String]
+        currentBytes = 0L
+      }
+      current += p
+      currentBytes += cost
+    }
+    if (current.nonEmpty) bins += current
+    bins.map(_.toArray).toArray
+  }
 }
 
 final class CityJsonTable(path: String) extends Table with SupportsRead {
@@ -63,40 +105,62 @@ final class CityJsonScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = CityJsonSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new CityJsonScan(path, required)
+  override def build(): Scan = {
+    // capture session state at plan time: Hadoop conf (incl. spark.hadoop.*)
+    // for the executors, file-packing knobs from the SQL conf
+    val spark = org.apache.spark.sql.SparkSession.active
+    val confSer = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val sqlConf = spark.sessionState.conf
+    new CityJsonScan(path, required, confSer,
+      sqlConf.filesMaxPartitionBytes, sqlConf.filesOpenCostInBytes,
+      spark.sparkContext.defaultParallelism)
+  }
 }
 
-final class CityJsonScan(path: String, required: StructType) extends Scan with Batch {
+final class CityJsonScan(path: String, required: StructType,
+    confSer: SerializableConfiguration, maxPartitionBytes: Long,
+    openCostInBytes: Long, minPartitionNum: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side listing only — file CONTENT is read on executors
+    // driver-side listing only (recursive) — file CONTENT is read on executors
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopPath.getFileSystem(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    val files =
-      if (fs.getFileStatus(hadoopPath).isDirectory)
-        fs.listStatus(hadoopPath).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
-      else Seq(fs.getFileStatus(hadoopPath))
-    files.sortBy(_.getPath.toString)
-      .map(s => CityJsonFilePartition(s.getPath.toString): InputPartition).toArray
+    val fs = hadoopPath.getFileSystem(confSer.value)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    if (fs.getFileStatus(hadoopPath).isDirectory) {
+      val it = fs.listFiles(hadoopPath, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".json"))
+          files += ((s.getPath.toString, s.getLen))
+      }
+    } else {
+      val s = fs.getFileStatus(hadoopPath)
+      files += ((s.getPath.toString, s.getLen))
+    }
+    CityJsonSource.packPartitions(files.sortBy(_._1).toSeq,
+        maxPartitionBytes, openCostInBytes, minPartitionNum)
+      .map(group => CityJsonFilePartition(group): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CityJsonReaderFactory(required.fieldNames)
+    new CityJsonReaderFactory(required.fieldNames, confSer)
 }
 
-final case class CityJsonFilePartition(filePath: String) extends InputPartition
+final case class CityJsonFilePartition(filePaths: Array[String]) extends InputPartition
 
-final class CityJsonReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+final class CityJsonReaderFactory(fields: Array[String], confSer: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val filePath = partition.asInstanceOf[CityJsonFilePartition].filePath
+    val filePaths = partition.asInstanceOf[CityJsonFilePartition].filePaths
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
-      private lazy val rows: Iterator[InternalRow] = {
+      private lazy val rows: Iterator[InternalRow] = filePaths.iterator.flatMap { filePath =>
         val p = new org.apache.hadoop.fs.Path(filePath)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // the SESSION's Hadoop conf, not a blank new Configuration(): an
+        // object store the driver could list must be one the reader can open
+        val fs = p.getFileSystem(confSer.value)
         val in = fs.open(p)
         val json = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
