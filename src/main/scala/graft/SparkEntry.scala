@@ -31,6 +31,48 @@ object SparkEntry {
     * link-farm page can do, not to sample. */
   val CoMentionHubCap = 64
 
+  /** GPT-style sequence packing via a HIERARCHICAL two-phase prefix sum.
+    *
+    * A flat `Window.partitionBy(lang).orderBy(doc_id)` running sum puts an
+    * entire language in ONE task's external sort — at 10¹²-document scale
+    * with an 80%-English corpus that is a single-task stage. Instead:
+    *
+    *  1. blocks: `blk = doc_id DIV blockSize` segments each language's
+    *     id-ordered stream into bounded ranges (≤ blockSize docs each);
+    *  2. per-(lang, blk) token subtotals — one partial/final aggregation,
+    *     corpus/blockSize output rows (10⁶ at a trillion docs for the
+    *     default 2²⁰ block, trivially broadcastable);
+    *  3. exclusive running offset per lang over BLOCKS — the only
+    *     lang-partitioned window, over subtotal rows, never documents;
+    *  4. broadcast-join offsets back, local prefix sum within (lang, blk) —
+    *     every window partition bounded by blockSize rows.
+    *
+    * Bit-identical to the flat formulation (integer token counts, exact
+    * arithmetic); the `PackShardsSpec` equivalence test locks that across
+    * block sizes, `PlanQualitySpec` locks that no document-stream exchange
+    * is keyed on lang alone. */
+  private[graft] def packShards(documents: DataFrame, cap: Long,
+      blockSize: Long = 1L << 20): DataFrame = {
+    val base = documents.select(
+        col("doc_id"), col("lang"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .withColumn("blk", expr(s"doc_id DIV $blockSize"))
+    val subtotals = base.groupBy("lang", "blk").agg(sum("n_tokens").as("blk_tokens"))
+    val wBlk = Window.partitionBy("lang").orderBy("blk")
+    val offsets = subtotals
+      .withColumn("blk_offset",
+        coalesce(sum("blk_tokens").over(wBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "blk", "blk_offset")
+    val wLoc = Window.partitionBy("lang", "blk").orderBy("doc_id")
+    base.join(broadcast(offsets), Seq("lang", "blk"))
+      .withColumn("cum_before", col("blk_offset") +
+        coalesce(sum("n_tokens").over(wLoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before DIV $cap").as("shard_id"),
+        (col("cum_before") % cap).as("shard_offset"))
+  }
+
   /** Word-bigram Jaccard pairs over a bounded head sample, fully relational
     * (shingle explode + self-equi-join on shingle — never a cross product);
     * the corpus-scale path is Dedup.minhashPairs. The threshold test is
@@ -463,20 +505,10 @@ object SparkEntry {
       // GPT-style sequence packing: per language, documents are concatenated
       // in doc_id order into one token stream chopped into fixed-capacity
       // shards (docs may straddle a boundary; shard_id/shard_offset locate
-      // the start). Pure window prefix-sum + integer division — deterministic
-      // and engine-exact. At corpus scale the partition key is the
-      // (bounded-cardinality) curation group, so no global single-task sort.
-      val cap = 4096L
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-      t(dir, "documents").select(
-          col("doc_id"), col("lang"),
-          when(length(trim(col("text"))) === 0, 0L)
-            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
-        .withColumn("cum_before",
-          coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          expr(s"cum_before DIV $cap").as("shard_id"),
-          (col("cum_before") % cap).as("shard_offset"))
+      // the start). Hierarchical two-phase prefix sum (see packShards) — a
+      // flat Window.partitionBy(lang) would hand ONE task the running sum
+      // over an entire language (80% of a web corpus is English).
+      packShards(t(dir, "documents"), cap = 4096L)
     }),
     "doc_chunk_sliding" -> ((s, dir) => {
       implicit val sp: SparkSession = s

@@ -30,4 +30,16 @@ class PackShardsSpec extends SparkTestBase {
     assert(gaps.count() == 0, "shard ids must be gapless 0..max per lang")
     df.unpersist()
   }
+
+  test("two-phase prefix sum is bit-identical across block sizes (incl. the flat single-block case)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(blockSize: Long) =
+      SparkEntry.packShards(docs, cap = 4096L, blockSize = blockSize)
+        .collect().map(_.toString).sorted.toSeq
+    // blockSize >= corpus: one block per lang == the flat formulation;
+    // tiny blocks force many offset-joined ranges through the same math
+    val flat = canon(1L << 40)
+    assert(canon(7) == flat, "blockSize=7 diverged")
+    assert(canon(64) == flat, "blockSize=64 diverged")
+  }
 }

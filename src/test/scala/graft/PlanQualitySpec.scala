@@ -114,6 +114,31 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("doc_pack_shards never sorts the document stream by lang alone (two-phase prefix sum)") {
+    val plan = SparkEntry.queries("doc_pack_shards")(spark, sfDir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, plan.toString)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.map(_.toString)
+      if (keys.length == 1 && keys.head.startsWith("lang")) {
+        // the only lang-partitioned window runs over per-block SUBTOTALS —
+        // its subtree must contain the aggregation, i.e. it never consumes
+        // the raw document stream (the single-task-per-language shape)
+        val hasAgg = w.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        }.nonEmpty
+        assert(hasAgg, s"lang-only window consumes the raw document stream:\n$w")
+      }
+    }
+    // and the document-stream window is keyed (lang, blk) — bounded partitions
+    assert(windows.exists(_.partitionSpec.length == 2), plan.toString)
+  }
+
   test("doc_source_quota truncates per-source runs map-side (partial WindowGroupLimit)") {
     val plan = planOf("doc_source_quota").toString
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
