@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
+import graft.util.Checkpoints
 
 /** Document deduplication operators for the training-data pipeline.
   *
@@ -210,23 +211,24 @@ object Dedup {
     * Returns (id, component) where component = min id reachable.
     */
   def components(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
-      maxIter: Int = 50): DataFrame = {
-    val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-    var labels = sym.select(col("src").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+      maxIter: Int = 50, reliableEvery: Option[Int] = None): DataFrame = {
+    val sym = Checkpoints.cut(
+      pairs.select(col(a).as("src"), col(b).as("dst"))
+        .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
+        .distinct(), 0, reliableEvery)
+    var labels = Checkpoints.cut(
+      sym.select(col("src").as("id"))
+        .distinct()
+        .withColumn("component", col("id")), 0, reliableEvery)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("component"))
-      val next = labels.unionAll(viaNeighbor)
-        .groupBy("id").agg(min(col("component")).as("component"))
-        .localCheckpoint()
+      val next = Checkpoints.cut(
+        labels.unionAll(viaNeighbor)
+          .groupBy("id").agg(min(col("component")).as("component")), iter + 1, reliableEvery)
       converged = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).isEmpty
       labels = next
@@ -258,16 +260,18 @@ object Dedup {
     * contract as [[components]] (spec-locked equal).
     */
   def componentsLogStar(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, reliableEvery: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nodes = pairs.select(col(a).cast("long").as("id"))
-      .unionAll(pairs.select(col(b).cast("long").as("id"))).distinct().localCheckpoint()
+    val nodes = Checkpoints.cut(
+      pairs.select(col(a).cast("long").as("id"))
+        .unionAll(pairs.select(col(b).cast("long").as("id"))).distinct(), 0, reliableEvery)
     def canon(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
-    var e = canon(pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v")))
-      .localCheckpoint()
+    var e = Checkpoints.cut(
+      canon(pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))),
+      0, reliableEvery)
     def sym(d: DataFrame) = d.unionAll(d.select(col("v").as("u"), col("u").as("v")))
     val w = Window.partitionBy("u")
     var converged = false
@@ -283,7 +287,7 @@ object Dedup {
         .withColumn("m", min("v").over(w))
       val ss = d.select(col("v").as("u"), col("m").as("v"))
         .unionAll(d.select(col("u"), col("m").as("v")))
-      val next = canon(ss).localCheckpoint()
+      val next = Checkpoints.cut(canon(ss), iter + 1, reliableEvery)
       converged = next.unionAll(e).except(next.intersect(e)).isEmpty
       e = next
       iter += 1

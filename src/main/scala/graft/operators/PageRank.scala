@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints
 
 /** Fixed-iteration PageRank over an undirected simple graph, in EXACT
   * integer arithmetic so results are deterministic across partitionings and
@@ -17,33 +18,38 @@ import org.apache.spark.sql.functions._
   *
   * Shuffle shape per round: one equi-join of ranks to the symmetric edge
   * list (hash on node id) + one partial/final sum aggregation — the same
-  * topology as Dedup.components, O(iters) rounds total. Per-round
-  * localCheckpoint truncates lineage so the plan does not grow with
-  * iterations; on a real cluster, checkpoint to storage every ~10 rounds
-  * instead. Skewed (hub) nodes are pure aggregation skew — partial
-  * map-side sums absorb them; there is no per-node materialization.
+  * topology as Dedup.components, O(iters) rounds total. Per-round lineage
+  * cuts go through [[graft.util.Checkpoints.cut]]: local (executor-storage)
+  * by default, durable `Dataset.checkpoint` every `reliableEvery` rounds on
+  * a cluster with a checkpoint dir configured. Skewed (hub) nodes are pure
+  * aggregation skew — partial map-side sums absorb them; there is no
+  * per-node materialization.
   */
 object PageRank {
 
   /** @param edges undirected (src, dst); canonicalized/deduped here
+    * @param reliableEvery Some(k): storage-backed checkpoint every k rounds
+    *   (requires SparkContext.setCheckpointDir) — cluster durability
     * @return (node, rank_micro) with rank in scaled integer units */
-  def ranks(edges: DataFrame, iters: Int = 5, scale: Long = 1000000L): DataFrame = {
-    val e = Triangles.canonical(edges).localCheckpoint()
+  def ranks(edges: DataFrame, iters: Int = 5, scale: Long = 1000000L,
+      reliableEvery: Option[Int] = None): DataFrame = {
+    val e = Checkpoints.cut(Triangles.canonical(edges), 0, reliableEvery)
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val deg = Checkpoints.cut(sym.groupBy("src").agg(count(lit(1)).as("deg")), 0, reliableEvery)
     val base = scale * 15 / 100
     var rank = deg.select(col("src").as("node"), lit(scale).as("rank_micro"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val contrib = sym
         .join(deg, "src")
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank_micro DIV deg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      rank = deg.select(col("src").as("node"))
-        .join(contrib, Seq("node"), "left_outer")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("rank_micro"))
-        .localCheckpoint()
+      rank = Checkpoints.cut(
+        deg.select(col("src").as("node"))
+          .join(contrib, Seq("node"), "left_outer")
+          .select(col("node"),
+            (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("rank_micro")),
+        round, reliableEvery)
     }
     rank
   }

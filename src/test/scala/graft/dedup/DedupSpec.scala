@@ -128,6 +128,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("components with reliable checkpointing is identical and writes durable state") {
+    val sps = spark; import sps.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L), (20L, 21L), (21L, 22L))
+    val df = spark.createDataset(edges).toDF("doc_a", "doc_b")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = canon(Dedup.components(df))
+    assert(canon(Dedup.components(df, reliableEvery = Some(2))) == base)
+    assert(canon(Dedup.componentsLogStar(df, reliableEvery = Some(2))) == base)
+    val files = java.nio.file.Files.walk(ckpt).iterator()
+    var rddDirs = 0
+    while (files.hasNext) { if (files.next().getFileName.toString.startsWith("rdd-")) rddDirs += 1 }
+    assert(rddDirs >= 4, s"expected durable checkpoints from both variants, found $rddDirs")
+  }
+
   test("componentsLogStar equals min-label components on random graphs") {
     val sps = spark; import sps.implicits._
     val rng = new scala.util.Random(11)

@@ -46,4 +46,29 @@ class PageRankSpec extends SparkTestBase {
     assert(a == ref(edges, 5))
     assert(a(100L) > a(0L) && a(100L) > a(200L))
   }
+
+  test("reliable checkpoint option: identical ranks, durable files, truncated lineage") {
+    val sps = spark; import sps.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val ckpt = java.nio.file.Files.createTempDirectory("pr_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val rel = PageRank.ranks(edges, iters = 5, reliableEvery = Some(2))
+    val relMap = rel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relMap == ref(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)), 5),
+      "reliable-checkpoint path must be bit-identical to the default path")
+    // durable: the checkpoint dir holds RDD checkpoint data written this run
+    val files = java.nio.file.Files.walk(ckpt).iterator()
+    var rddDirs = 0
+    while (files.hasNext) { if (files.next().getFileName.toString.startsWith("rdd-")) rddDirs += 1 }
+    assert(rddDirs >= 3, s"expected checkpointed RDDs for rounds 0/2/4, found $rddDirs dirs")
+    // truncated lineage: the result reads back from a (local or reliable)
+    // checkpoint scan, not a 5-round join tree
+    assert(rel.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+    // asking for durability without a checkpoint dir must fail loudly — but
+    // there is no unset API, so lock the require path via the k<=0 guard
+    intercept[IllegalArgumentException] {
+      PageRank.ranks(edges, iters = 1, reliableEvery = Some(0))
+    }
+  }
 }
