@@ -193,6 +193,21 @@ object SparkEntry {
         .distinct()
         .groupBy("seed").agg(count(lit(1)).as("n_within_2_hops"))
     }),
+    "kg_kcore" -> ((s, dir) => {
+      // 3-core of the co-mention graph (iterative peel until every node
+      // keeps >= 3 in-core neighbors): the KG-denoising staple — fringe
+      // entities and single-link noise peel away. The fixpoint is confluent
+      // (unique whatever the peel schedule), which is what lets the oracle
+      // re-derive it as a FIXED 12-round SQL unrolling while the engine
+      // converges adaptively. Same capped edge derivation as kg_pagerank.
+      val links = KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
+        PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
+        .localCheckpoint()
+      graft.operators.KCore.nodes(
+          Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap), k = 3)
+        .withColumnRenamed("node", "entity_iri")
+    }),
     "kg_link_precision_recall" -> ((s, dir) => {
       import s.implicits._
       val n = PagesSynth.pageCount(dir)
@@ -552,6 +567,29 @@ object SparkEntry {
       // Gopher/RefinedWeb repetition-filter inputs (integer counts; the
       // ratio thresholds live with the consumer)
       graft.text.Repetition.stats(t(dir, "documents").select("doc_id", "text"))
+    }),
+    "doc_bigram_freq_stats" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // bigram LM-frequency quality signal (the integer-exact core of a
+      // KenLM-style filter): per doc, its bigram count plus the min and sum
+      // of the CORPUS frequency of its bigrams — a low min/avg marks text
+      // unlike the corpus (garbled or boilerplate-chopped). Two shuffles,
+      // both keyed on the bigram (the count agg, then the join back);
+      // integer outputs only, no float log-probs, so the result is
+      // engine-exact vs the oracle. Docs with < 2 tokens have no bigrams
+      // and emit no row (inner-join semantics, mirrored in the oracle).
+      val bg = t(dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+          .as("bigram"))
+      val freq = bg.groupBy("bigram").agg(count(lit(1)).as("freq"))
+      bg.join(freq, "bigram")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          min("freq").as("min_freq"),
+          sum("freq").as("sum_freq"))
     }),
     "doc_quality_score" -> ((s, dir) => {
       import s.implicits._
@@ -1004,6 +1042,43 @@ object SparkEntry {
     s"$head,\n$rounds\nSELECT node AS entity_iri, rank_micro FROM r$iters"
   }
 
+  /** kg_kcore oracle: k-core peeling is CONFLUENT (unique fixpoint), so a
+    * fixed `rounds`-deep unrolling reaches the same subgraph the engine's
+    * converge-when-stable loop does — provided rounds ≥ the peel depth,
+    * which `KCoreSpec` pins for this corpus family. Each round keeps edges
+    * whose both endpoints have symmetric degree ≥ k.
+    *
+    * Every per-round CTE is `AS MATERIALIZED`: each round references its
+    * predecessor three times, and DuckDB's default CTE INLINING would make
+    * the evaluation tree 3^rounds (measured: unusable past ~4 rounds, then
+    * fd exhaustion on the re-opened parquet glob). Materialization makes
+    * the unrolling linear — the SQL analog of the engine's per-round
+    * lineage cut. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH l0 AS MATERIALIZED (SELECT DISTINCT url, entity_iri
+                     FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              l AS (SELECT url, entity_iri FROM (
+                      SELECT url, entity_iri,
+                             ROW_NUMBER() OVER (PARTITION BY url ORDER BY entity_iri) AS rn
+                      FROM l0) WHERE rn <= 64),
+              e0 AS MATERIALIZED (SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
+                     FROM l a JOIN l b ON a.url = b.url AND a.entity_iri < b.entity_iri)"""
+    val peels = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT src AS n FROM (SELECT src, dst FROM e${r - 1}
+                                 UNION ALL SELECT dst, src FROM e${r - 1})
+               GROUP BY 1 HAVING COUNT(*) >= $k),
+          e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+               JOIN d$r a ON e.src = a.n
+               JOIN d$r b ON e.dst = b.n)"""
+    }.mkString(",\n")
+    s"""$head,
+$peels
+SELECT src AS entity_iri, COUNT(*) AS core_deg
+FROM (SELECT src, dst FROM e$rounds UNION ALL SELECT dst, src FROM e$rounds)
+GROUP BY 1"""
+  }
+
   def oracleSql: Map[String, String] = baseOracleSql +
     // the bloom prefilter is an optimization, not a semantics change: its
     // exact-verify join makes the output identical to doc_decontaminate,
@@ -1017,6 +1092,7 @@ object SparkEntry {
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "kg_pagerank" -> pagerankOracleSql(5),
+    "kg_kcore" -> kcoreOracleSql(3, 12),
     "kg_two_hop" ->
       """WITH l0 AS (SELECT DISTINCT url, entity_iri
                      FROM read_parquet('{OUT}/aux_links/*.parquet')),
@@ -1143,6 +1219,18 @@ object SparkEntry {
                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                     '\b(customer|secret|password)\b', '<TERM>', 'g')) AS redacted_md5
          FROM documents""",
+    "doc_bigram_freq_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE len(string_split(text, ' ')) >= 2),
+              ix AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks),
+              bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram FROM ix),
+              freq AS (SELECT bigram, COUNT(*) AS freq FROM bg GROUP BY 1)
+         SELECT b.doc_id,
+                COUNT(*) AS n_bigrams,
+                CAST(MIN(f.freq) AS BIGINT) AS min_freq,
+                CAST(SUM(f.freq) AS BIGINT) AS sum_freq
+         FROM bg b JOIN freq f USING (bigram)
+         GROUP BY 1""",
     "doc_repetition" ->
       """WITH l AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
                     FROM documents),

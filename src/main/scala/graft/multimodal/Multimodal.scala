@@ -278,6 +278,53 @@ object Multimodal {
       Array.tabulate(outLen)(j => payload(((j.toLong * payload.length) / outLen).toInt))
     }
 
+  // ---------------------------------------------------------------- ffmpeg
+
+  /** Inter-frame-codec seam: the JDK has no H.264/H.265 decoder, so
+    * real-world video shards decode through an external ffmpeg binary when
+    * the deployment provides one (this sandbox does not — the gated spec
+    * skips loudly rather than pretending). Frames re-enter the pipeline at
+    * the same [[decodeImage]] boundary the motion-PNG path uses. */
+  lazy val ffmpegBinary: Option[String] =
+    sys.env.get("GRAFT_FFMPEG").filter(p => new java.io.File(p).canExecute)
+      .orElse(Seq("/usr/bin/ffmpeg", "/usr/local/bin/ffmpeg", "/opt/homebrew/bin/ffmpeg")
+        .find(p => new java.io.File(p).canExecute))
+
+  /** Decode up to `limit` frames of an arbitrary video blob to PNGs via the
+    * external binary. No binary, timeout, or decode failure → Nil (the
+    * error-isolation contract of every extractor here). */
+  def ffmpegFrames(blob: Array[Byte], limit: Int = 64): Seq[Array[Byte]] =
+    ffmpegBinary match {
+      case None => Nil
+      case Some(bin) =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_ffmpeg")
+        try {
+          val in = dir.resolve("in.bin")
+          java.nio.file.Files.write(in, blob)
+          val cmd = java.util.Arrays.asList(bin, "-v", "error", "-i", in.toString,
+            "-frames:v", limit.toString, dir.resolve("f%05d.png").toString)
+          val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
+          p.getInputStream.readAllBytes() // drain, avoid pipe-full deadlock
+          if (!p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)) {
+            p.destroyForcibly(); Nil
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+            val it = java.nio.file.Files.list(dir).iterator()
+            while (it.hasNext) {
+              val f = it.next()
+              val name = f.getFileName.toString
+              if (name.endsWith(".png")) out += ((name, java.nio.file.Files.readAllBytes(f)))
+            }
+            out.sortBy(_._1).map(_._2).toSeq
+          }
+        } catch { case _: java.io.IOException => Nil }
+        finally {
+          val it = java.nio.file.Files.list(dir).iterator()
+          while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+          java.nio.file.Files.deleteIfExists(dir)
+        }
+    }
+
   // ---------------------------------------------------------------- decode
 
   /** Decode a blob of any supported family to metadata: real image formats

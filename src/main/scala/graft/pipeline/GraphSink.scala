@@ -158,6 +158,31 @@ object GraphSink {
     def readAsOf(spark: SparkSession, target: String, id: Long): DataFrame =
       spark.read.parquet(s"$target/snap=$id").select(tripleCols: _*)
 
+    /** Incremental (CDC) read — Iceberg's changelog-table analog: the
+      * multiset delta between two committed snapshots, each row tagged
+      * `_change_type` ('insert' rows new in `toId`, 'delete' rows gone
+      * since `fromId`) with `_n` copies affected. One null-safe full-outer
+      * join of the two pre-aggregated snapshots — counts shuffle, never
+      * duplicate row payloads; downstream consumers re-apply the delta
+      * instead of re-scanning the table (THE incremental pattern at
+      * 100 TB). Compaction produces an empty delta by construction. */
+    def readChanges(spark: SparkSession, target: String, fromId: Long, toId: Long): DataFrame = {
+      val names = Seq("subj", "pred", "obj_iri", "obj_lit", "obj_type")
+      val a = readAsOf(spark, target, fromId).groupBy(tripleCols: _*)
+        .agg(count(lit(1)).as("_n_from"))
+      val b = readAsOf(spark, target, toId).groupBy(tripleCols: _*)
+        .agg(count(lit(1)).as("_n_to"))
+      // <=> joins: obj columns are legitimately null (literal vs iri rows)
+      val cond = names.map(c => a(c) <=> b(c)).reduce(_ && _)
+      a.join(b, cond, "full_outer")
+        .select(names.map(c => coalesce(a(c), b(c)).as(c)) :+
+          (coalesce(col("_n_to"), lit(0L)) - coalesce(col("_n_from"), lit(0L))).as("_delta"): _*)
+        .filter(col("_delta") =!= 0)
+        .select(names.map(col) :+
+          when(col("_delta") > 0, "insert").otherwise("delete").as("_change_type") :+
+          abs(col("_delta")).as("_n"): _*)
+    }
+
     def read(spark: SparkSession, target: String): DataFrame =
       readAsOf(spark, target, currentId(spark, target))
 

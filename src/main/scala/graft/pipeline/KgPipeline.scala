@@ -99,6 +99,97 @@ object KgPipeline {
     pageTriples(ext, PagesSynth.aliasMap).unionAll(ontologyTriples(spark))
   }
 
+  // ------------------------------------------------- dictionary-encoded path
+
+  /** Dictionary-encoded triple: 4 fixed-width fields (~40 B Tungsten row)
+    * in place of five strings (~3× that). `pred_id` indexes [[PredVocab]];
+    * `ent_id` indexes the entity dictionary (−1 for non-mention rows);
+    * `lit` carries the row's literal — lang-dictionary index, warc millis,
+    * char count, or the mention span packed (start << 32 | end). */
+  final case class EncTriple(page_id: Long, pred_id: Int, ent_id: Int, lit: Long)
+
+  val PredType = 0; val PredLang = 1; val PredWarcTs = 2; val PredNChars = 3
+  val PredMentions = 4
+  /** pred_id -> predicate IRI (static vocabulary dictionary) */
+  val PredVocab: Vector[String] =
+    Vector(V.RdfType, V.WebLang, V.WebWarcTs, V.WebNChars, V.WebMentions)
+  /** lang literal dictionary (the corpus's closed language set) */
+  val Langs: Vector[String] = Vector("en", "de", "fr", "es", "nl")
+
+  /** The hot pipeline in DICTIONARY-ENCODED form: extract → mention → link
+    * emit `EncTriple` rows whose only non-numeric payload left the stage
+    * boundary — entities and predicates as dictionary indexes, pages as
+    * their corpus id, spans packed into one long. String IRIs materialize
+    * ONLY at [[decodeTriples]] (triple emission), from broadcast/static
+    * dictionaries.
+    *
+    * Why: the string pipeline is memory-bandwidth-bound at high core counts
+    * (flat per-core throughput 4→16, sublinear 8→32 on one socket) — every
+    * triple allocates and copies a subject url + predicate + object string
+    * through the encoder. Encoding drops the bytes/triple ~3× (measured by
+    * `graft.tools.EncodingBench`), which is exactly the bandwidth headroom
+    * a shuffle, a write, or more cores would otherwise fight over. At
+    * 100 TB this is also the right GRAPH TABLE shape: fixed-width columns +
+    * tiny dictionary sidecars, strings only at the consumer edge. */
+  def encodedTriples(spark: SparkSession, n: Long): Dataset[EncTriple] = {
+    import spark.implicits._
+    // alias -> (entity dictionary id, prior), top-1 pre-resolved like
+    // Linker.resolve's broadcast map (candidates sorted best-first)
+    val aliasEnt: Map[String, Int] = PagesSynth.aliasMap.map { case (k, v) =>
+      k -> v.head._1.stripPrefix("ent:e").toInt
+    }
+    val bAlias = spark.sparkContext.broadcast(aliasEnt)
+    val bDict = spark.sparkContext.broadcast(MentionDetect.buildDictionary(PagesSynth.aliasMap.keys))
+    spark.range(0, n, 1, PagesSynth.rangeParts(spark, n)).mapPartitions { it =>
+      val am = bAlias.value
+      val dict = bDict.value
+      it.flatMap { i =>
+        val p = PagesSynth.pageAt(i, n).page
+        val text = TextExtract.extract(p.html)
+        val base = Iterator(
+          EncTriple(i, PredType, -1, 0L),
+          EncTriple(i, PredLang, -1, Langs.indexOf(p.lang).toLong),
+          EncTriple(i, PredWarcTs, -1, p.warc_ts.getTime),
+          EncTriple(i, PredNChars, -1, text.length.toLong))
+        val mentions = MentionDetect.detect(p.url, text, dict).iterator.flatMap { mn =>
+          am.get(mn.alias_norm).map(ent =>
+            EncTriple(i, PredMentions, ent,
+              (mn.span_start.toLong << 32) | (mn.span_end.toLong & 0xffffffffL)))
+        }
+        base ++ mentions
+      }
+    }
+  }
+
+  /** Triple emission for the encoded stream: the ONLY stage that
+    * materializes IRI strings — entity IRIs from a broadcast id→IRI
+    * dictionary, predicates from the static vocab, page urls from the
+    * corpus's id→url function (a real corpus joins its page dictionary
+    * here instead). Narrow; spec-locked multiset-identical to [[triples]]
+    * (modulo the once-per-job ontology triples, emitted separately). */
+  def decodeTriples(enc: Dataset[EncTriple], n: Long): Dataset[Triple] = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val bEnt = spark.sparkContext.broadcast(
+      Array.tabulate(PagesSynth.NumEntities)(PagesSynth.entityIri))
+    enc.mapPartitions { it =>
+      val ents = bEnt.value
+      it.map { t =>
+        val url = PagesSynth.urlAt(t.page_id, n)
+        t.pred_id match {
+          case PredType => Triple(url, V.RdfType, V.WebPage, null, null)
+          case PredLang => Triple(url, V.WebLang, null, Langs(t.lit.toInt), V.XsdString)
+          case PredWarcTs => Triple(url, V.WebWarcTs, null, t.lit.toString, V.XsdLong)
+          case PredNChars => Triple(url, V.WebNChars, null, t.lit.toString, V.XsdLong)
+          case PredMentions =>
+            Triple(url, V.WebMentions, ents(t.ent_id),
+              s"${(t.lit >>> 32).toInt}:${t.lit.toInt}", null)
+          case other => throw new IllegalArgumentException(s"unknown pred_id $other")
+        }
+      }
+    }
+  }
+
   /** Salted repartition for the graph write (north rule): partition key is
     * (subj, salt) where the salt fans a HOT subject out over up to
     * `saltFanout` buckets using the rest of the row — subject locality is

@@ -73,12 +73,24 @@ object PagesSynth {
 
   def numHosts(n: Long): Int = math.max(10, (n / 100).toInt)
 
+  private def hostUrl(host: Int, i: Long): String = s"https://host-$host.example/p/$i"
+
+  /** url of page i — a pure function of the page id (the host is the FIRST
+    * rng draw of [[pageAt]], replayed here), so the synthetic corpus's
+    * page-id -> IRI "dictionary" needs no materialized table. A real corpus
+    * carries this as a broadcast/joined page-dictionary instead; the
+    * encoded-pipeline decode stage is the one consumer either way. */
+  def urlAt(i: Long, n: Long): String = {
+    val rng = Rng.at(Seed, i)
+    hostUrl((numHosts(n) * math.pow(rng.nextDouble(), 3)).toInt, i)
+  }
+
   /** Pure generator for page i of a corpus of n. */
   def pageAt(i: Long, n: Long): PageGold = {
     val rng = Rng.at(Seed, i)
     // Zipf-ish host skew: u^3 concentrates mass on low host ids
     val host = (numHosts(n) * math.pow(rng.nextDouble(), 3)).toInt
-    val url = s"https://host-$host.example/p/$i"
+    val url = hostUrl(host, i)
     val lang = if (rng.nextDouble() < 0.9) "en" else Vector("de", "fr", "es", "nl")(rng.nextInt(4))
 
     val golds = Vector.newBuilder[Gold]
@@ -131,7 +143,7 @@ object PagesSynth {
   /** Distributed generation: narrow, partition-invariant, no shuffle.
     * 4 task waves per core so page-length variance balances out instead of
     * leaving straggler tasks in a single wave. */
-  private def rangeParts(spark: SparkSession, n: Long): Int = {
+  private[graft] def rangeParts(spark: SparkSession, n: Long): Int = {
     val waves = spark.sparkContext.defaultParallelism * 4
     math.max(1, math.min(waves.toLong, n / 100 max 1).toInt)
   }

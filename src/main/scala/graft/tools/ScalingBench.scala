@@ -15,7 +15,10 @@ import graft.synth.PagesSynth
   * corpus) so the job runs long enough that fixed scheduling overhead does
   * not swamp the scaling signal.
   *
-  * Usage: runMain graft.tools.ScalingBench <cores> [sfDir] [pagesMult]
+  * Usage: runMain graft.tools.ScalingBench <cores> [sfDir] [pagesMult] [nReps] [mode]
+  * mode: "decoded" (default — string triples, the full-emission job) or
+  * "encoded" (dictionary-encoded triples: the narrow stages carry longs
+  * only; see KgPipeline.encodedTriples for why this is the bandwidth story)
   */
 object ScalingBench {
 
@@ -24,6 +27,7 @@ object ScalingBench {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val mult = if (args.length > 2) args(2).toInt else 10
     val nReps = if (args.length > 3) args(3).toInt else 2
+    val mode = if (args.length > 4) args(4) else "decoded"
     val pages = PagesSynth.pageCount(sfDir) * mult
 
     val spark = SparkSession.builder()
@@ -35,9 +39,15 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def job(n: Long): Long = mode match {
+      case "encoded" =>
+        KgPipeline.encodedTriples(spark, n).count() + KgPipeline.ontologyTriples(spark).count()
+      case _ => KgPipeline.triples(spark, n).count()
+    }
+
     // warm-up: JIT + codegen at the same parallelism, untimed — must be big
     // enough that C2 compilation of the whole chain completes before timing
-    KgPipeline.triples(spark, 50000).count()
+    job(50000)
 
     // timed reps; report the best (JIT/GC noise is one-sided). The first rep
     // pays one-time heap commit; a GC fence between reps keeps collections
@@ -45,13 +55,13 @@ object ScalingBench {
     val reps = (1 to nReps).map { _ =>
       System.gc(); Thread.sleep(1000)
       val t0 = System.nanoTime()
-      val triples = KgPipeline.triples(spark, pages).count()
+      val triples = job(pages)
       (triples, (System.nanoTime() - t0) / 1e9)
     }
     val (triples, sec) = reps.minBy(_._2)
     val tps = (triples / sec).toLong
     val allSecs = reps.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
-    println(f"""{"scaling_point":true,"cores":$cores,"pages":$pages,"triples":$triples,"sec":$sec%.2f,"all_secs":$allSecs,"triples_per_sec":$tps}""")
+    println(f"""{"scaling_point":true,"cores":$cores,"mode":"$mode","pages":$pages,"triples":$triples,"sec":$sec%.2f,"all_secs":$allSecs,"triples_per_sec":$tps}""")
     spark.stop()
   }
 }

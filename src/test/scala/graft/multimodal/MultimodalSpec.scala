@@ -180,6 +180,29 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("inter-frame codecs decode through the ffmpeg seam (skips where no binary ships)") {
+    assume(Multimodal.ffmpegBinary.isDefined,
+      "no ffmpeg binary in this sandbox — inter-frame codecs (H.264/H.265) stay at the " +
+        "documented decodeImage seam; provide GRAFT_FFMPEG or a system ffmpeg to exercise it")
+    // a motion-PNG AVI is a valid ffmpeg input: the external decode must
+    // recover the same frame count, and each frame re-enters decodeImage
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (x * 32) << 16 | (y * 32) << 8)
+    val png = Multimodal.encodePng(img)
+    val avi = Multimodal.encodeAviFrames(8, 8, Seq(png, png, png))
+    val frames = Multimodal.ffmpegFrames(avi)
+    assert(frames.size == 3, s"ffmpeg decoded ${frames.size} frames")
+    frames.foreach { f =>
+      val d = Multimodal.decodeImage(f)
+      assert(d.isDefined && d.get.getWidth == 8 && d.get.getHeight == 8)
+    }
+  }
+
+  test("ffmpegFrames is error-isolated without a binary (Nil, never a throw)") {
+    if (Multimodal.ffmpegBinary.isEmpty)
+      assert(Multimodal.ffmpegFrames(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("malformed blobs are isolated, not fatal") {
     val sps = spark; import sps.implicits._
     val bad = spark.createDataset(Seq(

@@ -130,6 +130,20 @@ class KgPipelineSpec extends SparkTestBase {
     assert(canon(sink.readAsOf(spark, dir, 2L)) == canon(t2.toDF()))
   }
 
+  test("dictionary-encoded pipeline decodes to exactly the string pipeline's triples") {
+    val n = 400L
+    val enc = KgPipeline.encodedTriples(spark, n)
+    // encoded stream is pure fixed-width numerics — no string column leaks
+    // through the stage boundary
+    assert(enc.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType), enc.schema.toString)
+    val dec = KgPipeline.decodeTriples(enc, n).unionAll(KgPipeline.ontologyTriples(spark))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(canon(dec.toDF()) == canon(KgPipeline.triples(spark, n).toDF()),
+      "decode(encode(corpus)) must be multiset-identical to the string pipeline")
+  }
+
   test("snapshot pointer commits by rename; a torn pointer falls back to the newest complete snapshot") {
     val sink = new GraphSink.Snapshotted(parts = 2)
     val dir = Files.createTempDirectory("graph_ptr").toString + "/g"
@@ -148,6 +162,35 @@ class KgPipelineSpec extends SparkTestBase {
     // a missing pointer (deleted mid-swap) resolves the same way
     assert(new java.io.File(s"$dir/_current").delete())
     assert(sink.currentId(spark, dir) == 2L)
+  }
+
+  test("incremental CDC read yields the exact multiset delta between snapshots; compaction's delta is empty") {
+    val sps = spark; import sps.implicits._
+    val sink = new GraphSink.Snapshotted(parts = 2)
+    val dir = Files.createTempDirectory("graph_cdc").toString + "/g"
+    val t1 = KgPipeline.triples(spark, 100)
+    val t2 = KgPipeline.triples(spark, 150) // superset corpus: first 100 pages identical
+    sink.write(t1, dir) // snap 1
+    sink.write(t2, dir) // snap 2
+    val changes = sink.readChanges(spark, dir, 1L, 2L).cache()
+    // forward delta: only inserts (the corpus grew), and applying it to t1
+    // reproduces t2 exactly
+    assert(changes.filter(col("_change_type") === "delete").count() == 0)
+    val inserted = changes.agg(sum("_n")).head.getLong(0)
+    assert(inserted == t2.count() - t1.count(), s"delta size $inserted")
+    // reverse delta: same rows, all deletes (symmetry)
+    val rev = sink.readChanges(spark, dir, 2L, 1L)
+    assert(rev.filter(col("_change_type") === "insert").count() == 0)
+    assert(rev.agg(sum("_n")).head.getLong(0) == inserted)
+    // literal-only triples (null obj_iri) must not self-report as changed:
+    // the join is null-safe, so an unchanged corpus has an empty delta
+    assert(sink.readChanges(spark, dir, 1L, 1L).count() == 0)
+    // compaction rewrites files, not rows -> empty changelog
+    val before = sink.currentId(spark, dir)
+    val after = sink.compact(spark, dir, compactParts = 1)
+    assert(sink.readChanges(spark, dir, before, after).count() == 0,
+      "compaction must be row-invisible to incremental consumers")
+    changes.unpersist()
   }
 
   test("snapshot compaction rewrites small files as a new commit; expiry drops old snapshots") {
