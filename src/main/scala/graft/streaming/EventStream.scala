@@ -34,6 +34,22 @@ object EventStream {
       .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
   }
 
+  /** Exactly-once event dedup on the stream: `dropDuplicatesWithinWatermark`
+    * keys state by `event_id` and EVICTS each key once the watermark passes
+    * its event time + delay — the state store stays bounded by the
+    * watermark horizon instead of growing with the full event history
+    * (a plain streaming dropDuplicates key set never shrinks: at a
+    * 100 TB/day feed that is an unbounded state store). A duplicate
+    * arriving within the horizon is suppressed; one arriving after its
+    * key's eviction would re-emit, which is the documented at-least-once
+    * trade every bounded-state dedup makes — size `delay` to the
+    * producer's real redelivery window. Batch inputs take the plain
+    * `dropDuplicates` (no watermark semantics to bound). */
+  def dedupedEvents(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** One row per (user, gap-merged event-time session) via the native
     * `session_window` aggregation. This layer is streamable in append mode
     * (single stateful operator: sessions finalize when the watermark passes

@@ -144,6 +144,28 @@ class KgPipelineSpec extends SparkTestBase {
       "decode(encode(corpus)) must be multiset-identical to the string pipeline")
   }
 
+  test("encoded graph table: fixed-width parquet + sidecar dictionaries round-trip to the exact string triples") {
+    val n = 300L
+    val dir = Files.createTempDirectory("encg").toString + "/g"
+    EncodedGraphTable.write(KgPipeline.encodedTriples(spark, n), n, dir, parts = 4)
+    // the fact table carries NO string columns — fixed-width only
+    val schema = spark.read.parquet(s"$dir/triples").schema
+    assert(schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType), schema.toString)
+    // decode reads the STORED dictionaries, not in-memory vocab, and must
+    // reproduce the string pipeline's page triples exactly
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val expected = KgPipeline.decodeTriples(KgPipeline.encodedTriples(spark, n), n)
+    assert(canon(EncodedGraphTable.read(spark, dir).toDF()) == canon(expected.toDF()))
+    // id-space consumers never pay string decode: a degree count straight
+    // off the encoded relation matches the decoded equivalent
+    val encDeg = EncodedGraphTable.readEncoded(spark, dir)
+      .filter(_.pred_id == KgPipeline.PredMentions).groupBy("ent_id").count()
+    val decDeg = expected.filter(col("pred") === "web:mentions").groupBy("obj_iri").count()
+    assert(encDeg.agg(sum("count")).head.getLong(0) == decDeg.agg(sum("count")).head.getLong(0))
+  }
+
   test("snapshot pointer commits by rename; a torn pointer falls back to the newest complete snapshot") {
     val sink = new GraphSink.Snapshotted(parts = 2)
     val dir = Files.createTempDirectory("graph_ptr").toString + "/g"

@@ -70,6 +70,37 @@ class EventStreamSpec extends SparkTestBase {
       (120L, "view", 1L), (300L, "view", 1L), (960L, "view", 1L)))
   }
 
+  test("streaming dedup suppresses duplicates within the watermark and evicts state past it") {
+    val sq = spark.sqlContext
+    implicit val sqc: org.apache.spark.sql.SQLContext = sq
+    import sq.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDF().toDF("event_id", "ts")
+    val q = EventStream.dedupedEvents(df, delay = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_ev").outputMode("append").start()
+
+    // duplicates of event 1 and 2 inside the 30-minute horizon: suppressed
+    input.addData((1L, ts(10)), (2L, ts(11)), (1L, ts(12)), (2L, ts(30)), (3L, ts(31)))
+    q.processAllAvailable()
+    // advance the watermark far past those keys (wm = 500 - 30 = 470) —
+    // their dedup state is evicted
+    input.addData((4L, ts(500)))
+    q.processAllAvailable()
+    // a redelivery of event 1 AFTER eviction re-emits (the documented
+    // bounded-state trade) — but it is itself behind the watermark, so the
+    // watermark filter drops it first: still exactly one row for id 1
+    input.addData((1L, ts(13)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_ev").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L), s"got $ids")
+
+    // batch path: plain exact dedup on the same shape, one row per id
+    val batch = EventStream.dedupedEvents(
+      Seq((1L, ts(10)), (1L, ts(12)), (2L, ts(11))).toDF("event_id", "ts"))
+    assert(batch.count() == 2)
+  }
+
   test("session_window: streaming append sessions == batch sessions on the same rows") {
     val sq = spark.sqlContext
     implicit val sqc: org.apache.spark.sql.SQLContext = sq
