@@ -208,6 +208,46 @@ object SparkEntry {
           Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap), k = 3)
         .withColumnRenamed("node", "entity_iri")
     }),
+    "kg_entity_assoc" -> ((s, dir) => {
+      // entity-association strength inputs (the PMI numerator and both
+      // denominators as EXACT integers — the log ratio itself is a
+      // consumer-side float): co-mention page count per entity pair plus
+      // each side's page count, all over the same capped link set so the
+      // counts are mutually consistent. Pair expansion is the capped
+      // self-join (map-side WindowGroupLimit bound, like kg_pagerank's
+      // edges); denominators ride a broadcast join back.
+      val sp = s
+      import org.apache.spark.sql.expressions.Window
+      val links = KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
+        PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
+        .localCheckpoint()
+      val capped = links
+        .withColumn("rn", row_number().over(Window.partitionBy("url").orderBy("entity_iri")))
+        .filter(col("rn") <= CoMentionHubCap).drop("rn")
+      val pairs = capped.as("a")
+        .join(capped.as("b"), col("a.url") === col("b.url") &&
+          col("a.entity_iri") < col("b.entity_iri"))
+        .groupBy(col("a.entity_iri").as("e1"), col("b.entity_iri").as("e2"))
+        .agg(count(lit(1)).as("n_both"))
+      val pageCounts = capped.groupBy("entity_iri").agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(pageCounts.select(col("entity_iri").as("e1"), col("n").as("n_e1"))), "e1")
+        .join(broadcast(pageCounts.select(col("entity_iri").as("e2"), col("n").as("n_e2"))), "e2")
+        .select("e1", "e2", "n_both", "n_e1", "n_e2")
+    }),
+    "doc_token_hist" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // sequence-length histogram (64-token buckets) for packing/bucketing
+      // planners: one narrow projection + one tiny aggregation — the
+      // O(buckets) result a curriculum or shard planner reads instead of
+      // scanning the corpus
+      t(dir, "documents").select(
+          when(length(trim(col("text"))) === 0, 0L)
+            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+        .select(expr("n_tokens DIV 64").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    }),
     "kg_link_precision_recall" -> ((s, dir) => {
       import s.implicits._
       val n = PagesSynth.pageCount(dir)
@@ -1093,6 +1133,26 @@ GROUP BY 1"""
   private lazy val baseOracleSql: Map[String, String] = Map(
     "kg_pagerank" -> pagerankOracleSql(5),
     "kg_kcore" -> kcoreOracleSql(3, 12),
+    "kg_entity_assoc" ->
+      """WITH l0 AS (SELECT DISTINCT url, entity_iri
+                     FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              l AS (SELECT url, entity_iri FROM (
+                      SELECT url, entity_iri,
+                             ROW_NUMBER() OVER (PARTITION BY url ORDER BY entity_iri) AS rn
+                      FROM l0) WHERE rn <= 64),
+              p AS (SELECT a.entity_iri AS e1, b.entity_iri AS e2, COUNT(*) AS n_both
+                    FROM l a JOIN l b ON a.url = b.url AND a.entity_iri < b.entity_iri
+                    GROUP BY 1, 2),
+              c AS (SELECT entity_iri, COUNT(*) AS n FROM l GROUP BY 1)
+         SELECT p.e1, p.e2, p.n_both, c1.n AS n_e1, c2.n AS n_e2
+         FROM p JOIN c c1 ON c1.entity_iri = p.e1
+                JOIN c c2 ON c2.entity_iri = p.e2""",
+    "doc_token_hist" ->
+      """WITH t AS (SELECT CASE WHEN trim(text)='' THEN 0
+                               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                   FROM documents)
+         SELECT CAST(n_tokens AS BIGINT) // 64 AS bucket, COUNT(*) AS n_docs
+         FROM t GROUP BY 1""",
     "kg_two_hop" ->
       """WITH l0 AS (SELECT DISTINCT url, entity_iri
                      FROM read_parquet('{OUT}/aux_links/*.parquet')),
