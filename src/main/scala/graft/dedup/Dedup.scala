@@ -199,8 +199,9 @@ object Dedup {
     * of its own label and its neighbors' labels (one equi join + one
     * partial/final min agg per round), converging in O(diameter) rounds —
     * near-dup clusters are shallow (a handful of rounds). Per-round
-    * localCheckpoint cuts the lineage so the plan does not grow with
-    * iterations. At adversarial diameters (long chains) switch to
+    * lineage cuts go through Checkpoints.cut — local by default, durable
+    * storage-backed every `reliableEvery` rounds on a cluster. At
+    * adversarial diameters (long chains) switch to
     * large-star/small-star, which bounds rounds at O(log n); the round
     * structure here is the same shuffle shape.
     *

@@ -139,6 +139,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(windows.exists(_.partitionSpec.length == 2), plan.toString)
   }
 
+  test("kg_entity_assoc caps per-page entities map-side, before the pair self-join") {
+    val plan = planOf("kg_entity_assoc").toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("doc_source_quota truncates per-source runs map-side (partial WindowGroupLimit)") {
     val plan = planOf("doc_source_quota").toString
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
