@@ -98,11 +98,20 @@ object Bench {
     }
     results("kg_pipeline") = pipeSec
 
+    // dictionary-encoded pipeline counterpart on the same corpus — reported
+    // as its own field, NOT in the totaled queries map, so round-over-round
+    // `value` comparisons stay apples-to-apples
+    KgPipeline.encodedTriples(spark, n).count() // warm
+    val encSec = (1 to 3).map { _ =>
+      System.gc()
+      timed { KgPipeline.encodedTriples(spark, n).count() }._2
+    }.min
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
     val tps = if (pipeSec > 0) (nTriples / pipeSec).toLong else 0L
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$n,"triples":$nTriples,"triples_per_sec":$tps,"sustained_pages":$nBig,"sustained_triples_per_sec":$sustainedTps,"cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$n,"triples":$nTriples,"triples_per_sec":$tps,"pipeline_encoded_sec":${f"$encSec%.3f"},"sustained_pages":$nBig,"sustained_triples_per_sec":$sustainedTps,"cpus":$cpus}"""
     println(json)
     // belt-and-braces beside the stdout contract line: a parse-safe copy on
     // disk (round 1's line landed wrapped in sbt "[info] " and went unparsed)

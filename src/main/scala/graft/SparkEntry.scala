@@ -208,6 +208,24 @@ object SparkEntry {
           Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap), k = 3)
         .withColumnRenamed("node", "entity_iri")
     }),
+    "kg_shortest_paths" -> ((s, dir) => {
+      // multi-source BFS hop distances to a FIXED 6-hop horizon over the
+      // co-mention graph (the general form of kg_two_hop): per seed, how
+      // many entities sit at each hop distance. Fixed rounds = no
+      // convergence clause, so the oracle unrolls the same 6 expansions
+      // as MATERIALIZED CTEs and matches at any graph diameter.
+      val links = KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
+        PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
+        .localCheckpoint()
+      val canonEdges = Triangles.canonical(
+        Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap)).localCheckpoint()
+      val seeds = canonEdges.select(col("src").as("seed"))
+        .unionAll(canonEdges.select(col("dst").as("seed")))
+        .distinct().orderBy("seed").limit(3)
+      graft.operators.ShortestPaths.distances(canonEdges, seeds, maxDist = 6)
+        .groupBy("seed", "dist").agg(count(lit(1)).as("n_entities"))
+    }),
     "kg_entity_assoc" -> ((s, dir) => {
       // entity-association strength inputs (the PMI numerator and both
       // denominators as EXACT integers — the log ratio itself is a
@@ -1119,6 +1137,37 @@ FROM (SELECT src, dst FROM e$rounds UNION ALL SELECT dst, src FROM e$rounds)
 GROUP BY 1"""
   }
 
+  /** kg_shortest_paths oracle: the same fixed `rounds` BFS expansions,
+    * unrolled. MATERIALIZED per round (see kcoreOracleSql — inlining would
+    * re-evaluate predecessors exponentially); the anti join against the
+    * visited set is DuckDB's native ANTI JOIN. */
+  private def bfsOracleSql(rounds: Int, nSeeds: Int): String = {
+    val head =
+      s"""WITH l0 AS MATERIALIZED (SELECT DISTINCT url, entity_iri
+                     FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              l AS (SELECT url, entity_iri FROM (
+                      SELECT url, entity_iri,
+                             ROW_NUMBER() OVER (PARTITION BY url ORDER BY entity_iri) AS rn
+                      FROM l0) WHERE rn <= 64),
+              e0 AS MATERIALIZED (SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
+                     FROM l a JOIN l b ON a.url = b.url AND a.entity_iri < b.entity_iri),
+              sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+              seeds AS (SELECT DISTINCT src AS seed FROM sym ORDER BY seed LIMIT $nSeeds),
+              f0 AS MATERIALIZED (SELECT seed, seed AS node, 0 AS dist FROM seeds),
+              v0 AS MATERIALIZED (SELECT * FROM f0)"""
+    val expansions = (1 to rounds).map { d =>
+      s"""f$d AS MATERIALIZED (
+             SELECT c.seed, c.node, $d AS dist FROM (
+               SELECT DISTINCT f.seed, s.dst AS node
+               FROM f${d - 1} f JOIN sym s ON f.node = s.src) c
+             ANTI JOIN v${d - 1} v ON v.seed = c.seed AND v.node = c.node),
+          v$d AS MATERIALIZED (SELECT * FROM v${d - 1} UNION ALL SELECT * FROM f$d)"""
+    }.mkString(",\n")
+    s"""$head,
+$expansions
+SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
+  }
+
   def oracleSql: Map[String, String] = baseOracleSql +
     // the bloom prefilter is an optimization, not a semantics change: its
     // exact-verify join makes the output identical to doc_decontaminate,
@@ -1133,6 +1182,7 @@ GROUP BY 1"""
   private lazy val baseOracleSql: Map[String, String] = Map(
     "kg_pagerank" -> pagerankOracleSql(5),
     "kg_kcore" -> kcoreOracleSql(3, 12),
+    "kg_shortest_paths" -> bfsOracleSql(6, 3),
     "kg_entity_assoc" ->
       """WITH l0 AS (SELECT DISTINCT url, entity_iri
                      FROM read_parquet('{OUT}/aux_links/*.parquet')),
