@@ -856,6 +856,19 @@ object SparkEntry {
         .groupBy(expr("k DIV 10").as("k_decile"))
         .agg(count(lit(1)).as("n_events"), sum(col("k")).cast("bigint").as("sum_k"))
     }),
+    "ev_props_variant" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // the same extraction through Spark 4's VariantType: parse_json
+      // shreds the JSON once into a binary variant and variant_get does
+      // typed path access without re-tokenizing text per field — the
+      // open-schema path for semi-structured columns at scale (N field
+      // reads = one parse, vs N parses with get_json_object). Output is
+      // identical to ev_props_json, so the two share one oracle.
+      t(dir, "events")
+        .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy(expr("k DIV 10").as("k_decile"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).cast("bigint").as("sum_k"))
+    }),
     "doc_langid_eval" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1177,7 +1190,10 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
     // shares the recursive-CTE closure oracle
     ("doc_dup_components_logstar" -> baseOracleSql("doc_dup_components")) +
     // the DSv2 connector emits the same triples as the mapPartitions path
-    ("cj_triples_by_pred_dsv2" -> baseOracleSql("cj_triples_by_pred"))
+    ("cj_triples_by_pred_dsv2" -> baseOracleSql("cj_triples_by_pred")) +
+    // VariantType access is a faster PATH to the same values as
+    // get_json_object — identical output, one oracle
+    ("ev_props_variant" -> baseOracleSql("ev_props_json"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "kg_pagerank" -> pagerankOracleSql(5),
