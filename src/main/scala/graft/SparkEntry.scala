@@ -53,11 +53,16 @@ object SparkEntry {
     * is keyed on lang alone. */
   private[graft] def packShards(documents: DataFrame, cap: Long,
       blockSize: Long = 1L << 20): DataFrame = {
+    // the tokenized projection feeds BOTH the subtotal agg and the join
+    // branch; without a cut Spark would re-run the corpus scan +
+    // tokenization once per branch. The materialized row is 4 numeric
+    // columns (no text) — tiny relative to the scan it saves.
     val base = documents.select(
         col("doc_id"), col("lang"),
         when(length(trim(col("text"))) === 0, 0L)
           .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
       .withColumn("blk", expr(s"doc_id DIV $blockSize"))
+      .localCheckpoint()
     val subtotals = base.groupBy("lang", "blk").agg(sum("n_tokens").as("blk_tokens"))
     val wBlk = Window.partitionBy("lang").orderBy("blk")
     val offsets = subtotals
@@ -231,18 +236,15 @@ object SparkEntry {
       // denominators as EXACT integers — the log ratio itself is a
       // consumer-side float): co-mention page count per entity pair plus
       // each side's page count, all over the same capped link set so the
-      // counts are mutually consistent. Pair expansion is the capped
-      // self-join (map-side WindowGroupLimit bound, like kg_pagerank's
-      // edges); denominators ride a broadcast join back.
-      val sp = s
-      import org.apache.spark.sql.expressions.Window
+      // counts are mutually consistent. The cap is the ONE shared
+      // Triangles.cappedMembers derivation every co-mention query uses
+      // (map-side WindowGroupLimit, plan-locked); denominators ride a
+      // broadcast join back.
       val links = KgPipeline.links(
         KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
         PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
         .localCheckpoint()
-      val capped = links
-        .withColumn("rn", row_number().over(Window.partitionBy("url").orderBy("entity_iri")))
-        .filter(col("rn") <= CoMentionHubCap).drop("rn")
+      val capped = Triangles.cappedMembers(links, "url", "entity_iri", CoMentionHubCap)
       val pairs = capped.as("a")
         .join(capped.as("b"), col("a.url") === col("b.url") &&
           col("a.entity_iri") < col("b.entity_iri"))
@@ -862,10 +864,13 @@ object SparkEntry {
       // shreds the JSON once into a binary variant and variant_get does
       // typed path access without re-tokenizing text per field — the
       // open-schema path for semi-structured columns at scale (N field
-      // reads = one parse, vs N parses with get_json_object). Output is
-      // identical to ev_props_json, so the two share one oracle.
+      // reads = one parse, vs N parses with get_json_object). The try_
+      // variants yield NULL on malformed JSON / non-coercible values,
+      // matching get_json_object+cast's behavior exactly — which is what
+      // makes sharing ev_props_json's oracle legitimate beyond this
+      // closed corpus.
       t(dir, "events")
-        .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .select(expr("try_variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
         .groupBy(expr("k DIV 10").as("k_decile"))
         .agg(count(lit(1)).as("n_events"), sum(col("k")).cast("bigint").as("sum_k"))
     }),

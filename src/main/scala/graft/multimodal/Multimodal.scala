@@ -291,36 +291,45 @@ object Multimodal {
         .find(p => new java.io.File(p).canExecute))
 
   /** Decode up to `limit` frames of an arbitrary video blob to PNGs via the
-    * external binary. No binary, timeout, or decode failure → Nil (the
-    * error-isolation contract of every extractor here). */
+    * external binary. No binary, timeout, nonzero exit, or decode failure →
+    * Nil (the error-isolation contract of every extractor here). Output
+    * streams are DISCARDED at the OS level (not drained in-process) so the
+    * 60 s `waitFor` is the real bound — a decoder that spins or prompts can
+    * neither block this thread nor deadlock on a full pipe; `-nostdin -y`
+    * forbids interactive prompts outright. */
   def ffmpegFrames(blob: Array[Byte], limit: Int = 64): Seq[Array[Byte]] =
     ffmpegBinary match {
       case None => Nil
       case Some(bin) =>
         val dir = java.nio.file.Files.createTempDirectory("graft_ffmpeg")
+        def listDir(): Seq[java.nio.file.Path] = {
+          val st = java.nio.file.Files.list(dir)
+          try {
+            val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+            val it = st.iterator()
+            while (it.hasNext) out += it.next()
+            out.toSeq
+          } finally st.close()
+        }
         try {
           val in = dir.resolve("in.bin")
           java.nio.file.Files.write(in, blob)
-          val cmd = java.util.Arrays.asList(bin, "-v", "error", "-i", in.toString,
-            "-frames:v", limit.toString, dir.resolve("f%05d.png").toString)
-          val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
-          p.getInputStream.readAllBytes() // drain, avoid pipe-full deadlock
+          val cmd = java.util.Arrays.asList(bin, "-nostdin", "-y", "-v", "error",
+            "-i", in.toString, "-frames:v", limit.toString, dir.resolve("f%05d.png").toString)
+          val p = new ProcessBuilder(cmd)
+            .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+            .redirectError(ProcessBuilder.Redirect.DISCARD)
+            .start()
           if (!p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)) {
             p.destroyForcibly(); Nil
-          } else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
-            val it = java.nio.file.Files.list(dir).iterator()
-            while (it.hasNext) {
-              val f = it.next()
-              val name = f.getFileName.toString
-              if (name.endsWith(".png")) out += ((name, java.nio.file.Files.readAllBytes(f)))
-            }
-            out.sortBy(_._1).map(_._2).toSeq
-          }
+          } else if (p.exitValue() != 0) Nil // partial frames from a failed decode are NOT a success
+          else listDir()
+            .filter(_.getFileName.toString.endsWith(".png"))
+            .sortBy(_.getFileName.toString)
+            .map(java.nio.file.Files.readAllBytes)
         } catch { case _: java.io.IOException => Nil }
         finally {
-          val it = java.nio.file.Files.list(dir).iterator()
-          while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+          listDir().foreach(java.nio.file.Files.deleteIfExists(_))
           java.nio.file.Files.deleteIfExists(dir)
         }
     }

@@ -32,15 +32,25 @@ object Triangles {
     * cross-engine. */
   def groupedPairs(rows: DataFrame, groupCol: String, memberCol: String,
       memberCap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val capped = rows.select(col(groupCol), col(memberCol)).distinct()
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(groupCol).orderBy(memberCol)))
-      .filter(col("__rn") <= memberCap).drop("__rn")
+    val capped = cappedMembers(rows, groupCol, memberCol, memberCap)
     val a = capped.as("a"); val b = capped.as("b")
     a.join(b, col(s"a.$groupCol") === col(s"b.$groupCol") &&
         col(s"a.$memberCol") < col(s"b.$memberCol"))
       .select(col(s"a.$memberCol").as("src"), col(s"b.$memberCol").as("dst"))
+  }
+
+  /** The SHARED deterministic per-group member cap (row_number ordered by
+    * member, planned as a map-side WindowGroupLimit): every co-mention
+    * derivation — pair expansion here, the entity-association denominators
+    * — must cap through this one definition or their "same capped set"
+    * consistency silently breaks. */
+  def cappedMembers(rows: DataFrame, groupCol: String, memberCol: String,
+      memberCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    rows.select(col(groupCol), col(memberCol)).distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(memberCol)))
+      .filter(col("__rn") <= memberCap).drop("__rn")
   }
 
   /** Canonical simple edge set: src < dst, distinct, loops dropped. */

@@ -84,7 +84,8 @@ object EncodedGraphTable {
       val en = bEnts.value; val pr = bPreds.value; val la = bLangs.value
       it.map { t =>
         val url = PagesSynth.urlAt(t.page_id, n)
-        val pred = pr(t.pred_id)
+        val pred = pr.getOrElse(t.pred_id,
+          throw new IllegalArgumentException(s"unknown pred_id ${t.pred_id} (stale dict_preds?)"))
         t.pred_id match {
           case KgPipeline.PredType => Triple(url, pred, V.WebPage, null, null)
           case KgPipeline.PredLang => Triple(url, pred, null, la(t.lit.toInt), V.XsdString)
@@ -92,7 +93,7 @@ object EncodedGraphTable {
           case KgPipeline.PredNChars => Triple(url, pred, null, t.lit.toString, V.XsdLong)
           case KgPipeline.PredMentions =>
             Triple(url, pred, en(t.ent_id), s"${(t.lit >>> 32).toInt}:${t.lit.toInt}", null)
-          case other => throw new IllegalArgumentException(s"unknown pred_id $other")
+          case other => throw new IllegalArgumentException(s"pred_id $other has no decode rule")
         }
       }
     }

@@ -112,8 +112,13 @@ object GraphSink {
       // pointer read is best-effort: commit() renames the pointer into place
       // atomically, but a reader racing the delete+rename fallback (needed on
       // filesystems whose rename refuses to overwrite) or hitting a torn
-      // pointer falls back to the newest FULLY-COMMITTED snapshot — one whose
-      // parquet write finished (_SUCCESS present)
+      // pointer falls back to the newest snapshot bearing a _COMMITTED
+      // marker. The marker is written strictly AFTER the pointer swap, so a
+      // writer that crashed between finishing its parquet (_SUCCESS) and
+      // swapping the pointer leaves an UNMARKED snapshot the fallback will
+      // never surface — the fallback is conservative (at worst one commit
+      // behind, during the rename→marker window where the pointer itself is
+      // valid), never ahead onto aborted data.
       val fromPtr =
         try {
           if (!f.exists(ptr)) None
@@ -124,10 +129,10 @@ object GraphSink {
           }
         } catch { case _: java.io.IOException | _: NumberFormatException => None }
       fromPtr.getOrElse {
-        val complete = snapshots(spark, target).filter(id =>
-          f.exists(new org.apache.hadoop.fs.Path(s"$target/snap=$id/_SUCCESS")))
-        require(complete.nonEmpty, s"no committed snapshot at $target")
-        complete.last
+        val committed = snapshots(spark, target).filter(id =>
+          f.exists(new org.apache.hadoop.fs.Path(s"$target/snap=$id/_COMMITTED")))
+        require(committed.nonEmpty, s"no committed snapshot at $target")
+        committed.last
       }
     }
 
@@ -153,6 +158,12 @@ object GraphSink {
         f.delete(cur, false)
         require(f.rename(tmp, cur), s"could not commit snapshot pointer at $cur")
       }
+      // committed-marker AFTER the pointer swap: currentId's torn-pointer
+      // fallback trusts only marked snapshots, so a crash before this line
+      // (pointer already valid) or before the rename (snapshot never
+      // committed) both resolve correctly
+      val mk = f.create(new org.apache.hadoop.fs.Path(s"$target/snap=$id/_COMMITTED"), true)
+      mk.close()
     }
 
     def readAsOf(spark: SparkSession, target: String, id: Long): DataFrame =

@@ -47,12 +47,19 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stored mode: materialize the pages table once (content-addressed by
-    // count; reused across invocations at every parallelism level so all
-    // levels read IDENTICAL input files)
+    // stored mode: materialize the pages table once, content-addressed by
+    // (count, generator fingerprint) — the fingerprint (a page-0 content
+    // hash) keeps a stale /tmp table from an older generator out of the
+    // measurement; reuse across invocations means every parallelism level
+    // reads IDENTICAL input files
+    def pagesDir(n: Long): String = {
+      val fp = java.lang.Long.toHexString(
+        java.util.Arrays.hashCode(PagesSynth.pageAt(0, n).page.html).toLong & 0xffffffffL)
+      s"/tmp/graft_pages_${n}_$fp"
+    }
     def pagesTable(n: Long): org.apache.spark.sql.Dataset[graft.model.Page] = {
       import spark.implicits._
-      val dir = s"/tmp/graft_pages_$n"
+      val dir = pagesDir(n)
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         PagesSynth.pages(spark, n).write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir).as[graft.model.Page]
@@ -66,6 +73,10 @@ object ScalingBench {
           .count() + KgPipeline.ontologyTriples(spark).count()
       case _ => KgPipeline.triples(spark, n).count()
     }
+
+    // stored mode materializes the FULL-size table before any timing: the
+    // one-time parquet write must never land inside the first timed rep
+    if (mode == "stored") pagesTable(pages).count()
 
     // warm-up: JIT + codegen at the same parallelism, untimed — must be big
     // enough that C2 compilation of the whole chain completes before timing

@@ -177,13 +177,21 @@ class KgPipelineSpec extends SparkTestBase {
     assert(sink.currentId(spark, dir) == 2L)
     // simulate the torn-pointer window (reader racing create-truncate or the
     // delete+rename fallback): an empty pointer must resolve to the newest
-    // snapshot whose parquet write completed, not crash on "".toLong
+    // COMMITTED snapshot, not crash on "".toLong
     val ptr = new java.io.FileOutputStream(s"$dir/_current"); ptr.close()
     assert(sink.currentId(spark, dir) == 2L)
     assert(sink.read(spark, dir).count() == t1.count())
     // a missing pointer (deleted mid-swap) resolves the same way
     assert(new java.io.File(s"$dir/_current").delete())
     assert(sink.currentId(spark, dir) == 2L)
+    // a writer that crashed AFTER its parquet finished but BEFORE the
+    // pointer swap leaves an unmarked snap dir (_SUCCESS, no _COMMITTED):
+    // the fallback must never surface it — that data belongs to an aborted
+    // commit
+    val crashed = new java.io.File(s"$dir/snap=3"); crashed.mkdirs()
+    new java.io.FileOutputStream(s"$dir/snap=3/_SUCCESS").close()
+    assert(sink.currentId(spark, dir) == 2L,
+      "fallback surfaced a snapshot whose commit never completed")
   }
 
   test("incremental CDC read yields the exact multiset delta between snapshots; compaction's delta is empty") {

@@ -23,4 +23,11 @@ oracles=$(echo "$counts" | grep -oE '"oracles":[0-9]+' | grep -oE '[0-9]+')
 
 sed -i -E "s/\| tests \| [0-9]+ tests\+properties green \(([0-9]+ suites, )?\`sbt -batch test\`\)/| tests | $total tests+properties green ($suites suites, \`sbt -batch test\`)/" README.md
 sed -i -E "s/\| DuckDB oracle gate \| \*\*[0-9]+\/[0-9]+\*\*/| DuckDB oracle gate | **$oracles\/$oracles**/" README.md
+# fail LOUDLY if the table format drifted and a sed silently matched nothing —
+# otherwise this script would reintroduce the stale-count problem it exists
+# to prevent
+grep -q "| tests | $total tests+properties green ($suites suites" README.md \
+  || { echo "ERROR: tests row not updated — README table format drifted"; exit 1; }
+grep -q "| DuckDB oracle gate | \*\*$oracles/$oracles\*\*" README.md \
+  || { echo "ERROR: oracle row not updated — README table format drifted"; exit 1; }
 echo "README updated: $total tests / $suites suites / $oracles oracles"
