@@ -228,5 +228,5 @@ object GraphSink {
   /** Every layout, for parameterized round-trip tests. */
   def all(parts: Int): Seq[GraphSink] =
     Seq(new Salted(parts), new BucketedTable(parts), new PredicatePartitioned(parts),
-      new Snapshotted(parts))
+      new Snapshotted(parts), new NTriples.Files(parts))
 }

@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import graft.model.Triple
+
+/** N-Triples 1.1 serialization of the graft triple model — the standard
+  * RDF interchange surface a user of the reference converter ultimately
+  * wants (the reference emits an engine-native `.bin`; N-Triples is the
+  * engine-neutral equivalent every triple store ingests).
+  *
+  * The engine's compact names (CURIEs like `web:mentions`, `cj:doc`,
+  * bare names like `children`, dotted families like `city.prop.LoD`) map
+  * to absolute IRIs through a fixed prefix table plus a default
+  * namespace; name characters outside the unreserved set are
+  * percent-encoded. Both mappings are BIJECTIVE, so
+  * `parse(serialize(t)) == t` exactly — locked by the sink round-trip
+  * matrix (KG corpus) and a dedicated CityJSON + adversarial-literal
+  * spec. Literals get standard `\"`/`\\`/`\n`/`\r`/`\t` escapes (other
+  * characters ride as UTF-8, as N-Triples 1.1 allows); typed literals
+  * carry `^^<datatype>`.
+  *
+  * Serialization is a narrow per-row map (one text line per triple);
+  * parsing is a narrow per-line scan. Both distribute like any other
+  * columnar pass — the sink is `spark.read.text`/`write.text` underneath.
+  */
+object NTriples {
+
+  /** prefix → namespace; longest-namespace wins on compaction */
+  val Prefixes: Vector[(String, String)] = Vector(
+    "rdf:" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs:" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "owl:" -> "http://www.w3.org/2002/07/owl#",
+    "xsd:" -> "http://www.w3.org/2001/XMLSchema#",
+    "web:" -> "http://graft.example/web#",
+    "ent:" -> "http://graft.example/entity#",
+    "graft:" -> "http://graft.example/graft#",
+    "cj:" -> "http://graft.example/cityjson#",
+    "geom:" -> "http://graft.example/geom#")
+  val DefaultNs = "http://graft.example/id/"
+
+  private def needsEscape(c: Char): Boolean =
+    !(c.isLetterOrDigit && c < 128) && c != '-' && c != '_' && c != '.' && c != '~'
+
+  private[pipeline] def encodeName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c < 128 && !needsEscape(c)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  private[pipeline] def decodeName(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** compact engine name → absolute IRI (bijective with [[compactIri]]) */
+  def expandIri(name: String): String =
+    if (name.contains("://")) name // already absolute (page urls)
+    else Prefixes.find { case (p, _) => name.startsWith(p) } match {
+      case Some((p, ns)) => ns + encodeName(name.stripPrefix(p))
+      case None => DefaultNs + encodeName(name)
+    }
+
+  def compactIri(iri: String): String =
+    if (iri.startsWith(DefaultNs)) decodeName(iri.stripPrefix(DefaultNs))
+    else Prefixes.find { case (_, ns) => iri.startsWith(ns) } match {
+      case Some((p, ns)) => p + decodeName(iri.stripPrefix(ns))
+      case None => iri // absolute url
+    }
+
+  private def escapeLit(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def unescapeLit(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); case '"' => sb.append('"')
+          case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Object triples may carry an annotation in obj_lit beside the obj_iri
+    * (mention spans; the engine's array-element ordinals) — plain
+    * N-Triples has no slot for it, so it rides as a `?graft_ann=` query
+    * component on the object IRI. Bijective: a raw '?' inside a compact
+    * name is itself percent-encoded, so the marker can only come from
+    * this convention; pure-RDF consumers may strip it. */
+  private val AnnMarker = "?graft_ann="
+
+  def line(t: Triple): String = {
+    val obj =
+      if (t.obj_iri != null) {
+        val ann = if (t.obj_lit != null) AnnMarker + encodeName(t.obj_lit) else ""
+        s"<${expandIri(t.obj_iri)}$ann>"
+      }
+      else if (t.obj_type != null) "\"" + escapeLit(t.obj_lit) + "\"^^<" + expandIri(t.obj_type) + ">"
+      else "\"" + escapeLit(t.obj_lit) + "\""
+    s"<${expandIri(t.subj)}> <${expandIri(t.pred)}> $obj ."
+  }
+
+  def parse(ln: String): Triple = {
+    val s = ln.trim
+    require(s.endsWith("."), s"not an N-Triples line: $ln")
+    def iriEnd(from: Int): Int = s.indexOf('>', from)
+    require(s.startsWith("<"), s"subject must be an IRI: $ln")
+    val se = iriEnd(1)
+    val subj = compactIri(s.substring(1, se))
+    val ps = s.indexOf('<', se + 1)
+    val pe = iriEnd(ps + 1)
+    val pred = compactIri(s.substring(ps + 1, pe))
+    var i = pe + 1
+    while (s.charAt(i) == ' ') i += 1
+    if (s.charAt(i) == '<') {
+      val oe = iriEnd(i + 1)
+      val raw = s.substring(i + 1, oe)
+      val ann = raw.indexOf(AnnMarker)
+      if (ann >= 0)
+        Triple(subj, pred, compactIri(raw.substring(0, ann)),
+          decodeName(raw.substring(ann + AnnMarker.length)), null)
+      else Triple(subj, pred, compactIri(raw), null, null)
+    } else {
+      require(s.charAt(i) == '"', s"object must be IRI or literal: $ln")
+      // find the closing unescaped quote
+      var j = i + 1
+      while (!(s.charAt(j) == '"' && {
+        var bs = 0; var k = j - 1
+        while (s.charAt(k) == '\\') { bs += 1; k -= 1 }
+        bs % 2 == 0
+      })) j += 1
+      val lit = unescapeLit(s.substring(i + 1, j))
+      if (j + 2 < s.length && s.charAt(j + 1) == '^' && s.charAt(j + 2) == '^') {
+        val de = iriEnd(j + 4)
+        Triple(subj, pred, null, lit, compactIri(s.substring(j + 4, de)))
+      } else Triple(subj, pred, null, lit, null)
+    }
+  }
+
+  /** GraphSink over N-Triples text files: the interchange layout. */
+  final class Files(parts: Int = 32) extends GraphSink {
+    val name = "ntriples"
+    def write(triples: Dataset[Triple], target: String): Unit = {
+      val spark = triples.sparkSession
+      import spark.implicits._
+      triples.repartition(parts).map(line).write.mode(SaveMode.Overwrite).text(target)
+    }
+    def read(spark: SparkSession, target: String): DataFrame = {
+      import spark.implicits._
+      spark.read.textFile(target).map(parse).toDF()
+    }
+  }
+}
