@@ -95,8 +95,24 @@ object PagesSynth {
 
     val golds = Vector.newBuilder[Gold]
     val nSentences = 5 + rng.nextInt(6)
-    val sentences = (0 until nSentences).map { _ =>
-      val words = scala.collection.mutable.ArrayBuffer.fill(6 + rng.nextInt(7))(fillers(rng.nextInt(fillers.size)))
+    // allocation-lean assembly (this generator stands in for the input scan
+    // in every scaling run, and its allocation rate was the measured
+    // non-scaling stage): sentences write straight into one paragraph
+    // builder instead of materializing per-sentence strings and regrouping.
+    // Draw order and output bytes are IDENTICAL to the historical
+    // formulation (sentence word-count draw, word draws, mention branch,
+    // entity + position draws; paragraphs = groups of 3 sentences joined
+    // by spaces) — locked by the corpus-hash check in PagesSynthSpec.
+    val words = new scala.collection.mutable.ArrayBuffer[String](16)
+    val paragraphsB = Vector.newBuilder[String]
+    val pb = new StringBuilder(256)
+    var s = 0
+    while (s < nSentences) {
+      if (s % 3 == 0) pb.clear() else pb.append(' ')
+      words.clear()
+      val nWords = 6 + rng.nextInt(7)
+      var j = 0
+      while (j < nWords) { words += fillers(rng.nextInt(fillers.size)); j += 1 }
       if (rng.nextDouble() < 0.45) {
         // entity popularity skew: hot head via u^2.5
         val e = math.min(NumEntities - 1, (NumEntities * math.pow(rng.nextDouble(), 2.5)).toInt)
@@ -106,11 +122,18 @@ object PagesSynth {
         // gold = what a prior-only top-1 linker must produce for this surface
         golds += Gold(url, surface, aliasMap(surface).head._1)
       }
-      words.mkString(" ") + "."
+      var k = 0
+      while (k < words.length) { if (k > 0) pb.append(' '); pb.append(words(k)); k += 1 }
+      pb.append('.')
+      if (s % 3 == 2 || s == nSentences - 1) paragraphsB += pb.toString
+      s += 1
     }
-    val paragraphs = sentences.grouped(3).map(_.mkString(" ")).toVector
+    val paragraphs = paragraphsB.result()
     val title = s"page $i"
-    val text = (title +: paragraphs).mkString("\n")
+    val tb = new StringBuilder(64 + paragraphs.foldLeft(0)(_ + _.length))
+    tb.append(title)
+    paragraphs.foreach(p => tb.append('\n').append(p))
+    val text = tb.toString
 
     val html = buildHtml(title, paragraphs, host)
     PageGold(Page(url, new Timestamp(epochMs + i * 1000), html.getBytes("UTF-8"), text, lang), golds.result())
@@ -118,7 +141,12 @@ object PagesSynth {
 
   /** Boilerplate template; the frozen extractor inverts this exactly. */
   private def buildHtml(title: String, paragraphs: Vector[String], host: Int): String = {
-    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // fast path: the word-soup corpus almost never contains markup chars,
+    // and the three-replace chain allocates three intermediate strings per
+    // paragraph regardless — skip it when nothing needs escaping
+    def esc(s: String) =
+      if (s.indexOf('&') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0) s
+      else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val sb = new StringBuilder(1024)
     sb.append("<!DOCTYPE html><html><head><title>").append(esc(title)).append("</title>")
     sb.append("<script>var trk=").append(host).append(";trk__init();</script>")
