@@ -198,6 +198,45 @@ object SparkEntry {
         .distinct()
         .groupBy("seed").agg(count(lit(1)).as("n_within_2_hops"))
     }),
+    "kg_stored_neighbors" -> ((s, dir) => {
+      // co-mention neighborhoods computed OVER THE STORED GRAPH TABLE: the
+      // pipeline's triples land in the subject-BUCKETED layout first, and
+      // the traversal then self-joins the stored table on subj (= page)
+      // with the mention-predicate filter pushed into the parquet scan —
+      // the end-to-end proof the bucketed layout pays off (the page-keyed
+      // join and the page-level dedup both run WITHOUT an exchange;
+      // PlanQualitySpec locks it). Output: for each of the 3
+      // lexicographically-first entities, its co-mention neighbors with
+      // shared-page counts.
+      val n = PagesSynth.pageCount(dir)
+      val table = s"graft_stored_graph_$n"
+      KgPipeline.writeBucketedGraph(KgPipeline.triples(s, n), table, buckets = 32)
+      val g = s.table(table)
+      val edges = g.filter(col("pred") === "web:mentions")
+        .select(col("subj").as("page"), col("obj_iri").as("ent")).distinct()
+      val seeds = edges.select(col("ent").as("seed")).distinct().orderBy("seed").limit(3)
+      edges.join(seeds, col("ent") === col("seed"))
+        .select(col("page"), col("seed"))
+        .join(edges.withColumnRenamed("ent", "neighbor"), "page")
+        .filter(col("neighbor") =!= col("seed"))
+        .groupBy("seed", "neighbor").agg(countDistinct(col("page")).as("n_pages"))
+    }),
+    "kg_encoded_degree" -> ((s, dir) => {
+      // mention-degree per entity computed ENTIRELY in id space over the
+      // dictionary-encoded STORED table: the integer pred_id filter pushes
+      // into the parquet scan (min/max stats + dictionary pages — the cheap
+      // scan string tables cannot match at 100 TB, plan-locked), the
+      // aggregation groups fixed-width ints, and no string is ever decoded.
+      // The table is written first with its dictionary sidecars riding
+      // along (page/entity dicts AS DATA).
+      val n = PagesSynth.pageCount(dir)
+      val tmp = java.nio.file.Files.createTempDirectory("enc_contract").toString + "/g"
+      pipeline.EncodedGraphTable.write(KgPipeline.encodedTriples(s, n),
+        PagesSynth.pageDict(s, n), PagesSynth.entityDict(s), n, tmp)
+      pipeline.EncodedGraphTable.readEncoded(s, tmp)
+        .filter(col("pred_id") === KgPipeline.PredMentions)
+        .groupBy("ent_id").agg(count(lit(1)).as("n_mentions"))
+    }),
     "kg_kcore" -> ((s, dir) => {
       // 3-core of the co-mention graph (iterative peel until every node
       // keeps >= 3 in-core neighbors): the KG-denoising staple — fringe
@@ -238,8 +277,10 @@ object SparkEntry {
       // each side's page count, all over the same capped link set so the
       // counts are mutually consistent. The cap is the ONE shared
       // Triangles.cappedMembers derivation every co-mention query uses
-      // (map-side WindowGroupLimit, plan-locked); denominators ride a
-      // broadcast join back.
+      // (map-side WindowGroupLimit, plan-locked); denominator joins carry
+      // no hint — AQE broadcasts them while the entity vocabulary is small
+      // and falls back to shuffle when it is not (a web-scale KG has
+      // 10^7-10^9 entities; a forced broadcast would OOM the driver there).
       val links = KgPipeline.links(
         KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
         PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
@@ -252,8 +293,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_both"))
       val pageCounts = capped.groupBy("entity_iri").agg(count(lit(1)).as("n"))
       pairs
-        .join(broadcast(pageCounts.select(col("entity_iri").as("e1"), col("n").as("n_e1"))), "e1")
-        .join(broadcast(pageCounts.select(col("entity_iri").as("e2"), col("n").as("n_e2"))), "e2")
+        .join(pageCounts.select(col("entity_iri").as("e1"), col("n").as("n_e1")), "e1")
+        .join(pageCounts.select(col("entity_iri").as("e2"), col("n").as("n_e2")), "e2")
         .select("e1", "e2", "n_both", "n_e1", "n_e2")
     }),
     "doc_token_hist" -> ((s, dir) => {
@@ -1013,6 +1054,10 @@ object SparkEntry {
       ext.mapPartitions(_.flatMap(p => MentionDetect.detect(p.url, p.text, bc.value))).toDF()
     }),
     "aux_aliases" -> ((s, dir) => PagesSynth.aliases(s).toDF()),
+    // the dictionary-encoded triple stream (kg_encoded_degree's oracle
+    // re-aggregates it in DuckDB — integer columns end to end)
+    "aux_enc_triples" -> ((s, dir) =>
+      KgPipeline.encodedTriples(s, PagesSynth.pageCount(dir)).toDF()),
     // per-stage outputs whose CARDINALITIES the kg_triples_by_pred oracle
     // recomputes against the emission contract
     "aux_extracted" -> ((s, dir) =>
@@ -1241,6 +1286,18 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                         UNION SELECT seed, n2 FROM h2)
          SELECT seed, COUNT(*) AS n_within_2_hops
          FROM reach WHERE entity <> seed GROUP BY seed""",
+    "kg_encoded_degree" ->
+      """SELECT ent_id, COUNT(*) AS n_mentions
+         FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+         WHERE pred_id = 4 GROUP BY 1""",
+    "kg_stored_neighbors" ->
+      """WITH e AS (SELECT DISTINCT url AS page, entity_iri AS ent
+                    FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              seeds AS (SELECT DISTINCT ent AS seed FROM e ORDER BY seed LIMIT 3),
+              se AS (SELECT a.page, s.seed FROM e a JOIN seeds s ON a.ent = s.seed)
+         SELECT se.seed, b.ent AS neighbor, CAST(COUNT(DISTINCT se.page) AS BIGINT) AS n_pages
+         FROM se JOIN e b ON b.page = se.page AND b.ent <> se.seed
+         GROUP BY 1, 2""",
     "doc_sample_stratified" ->
       """SELECT doc_id, lang,
            (ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 100 <

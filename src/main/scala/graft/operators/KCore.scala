@@ -18,15 +18,20 @@ import graft.util.Checkpoints
   * endpoints — all hash-partitioned on node id, the same topology as
   * [[PageRank]] / Dedup.components, lineage cut per round through
   * [[Checkpoints.cut]] (local by default, durable with `reliableEvery`).
-  * Rounds are bounded by the peel depth (≤ degeneracy), which is small on
-  * power-law graphs; throws on non-convergence like Dedup.components.
+  * Rounds are bounded by the PEEL DEPTH, which is graph-dependent and NOT
+  * bounded by the degeneracy: simultaneous peeling of a pendant path of
+  * length L (degeneracy 1) takes L rounds at k = 2. Power-law graphs peel
+  * shallow in practice (this corpus: ≤ 12 rounds, pinned by KCoreSpec),
+  * but legitimate chain-heavy graphs can need rounds proportional to their
+  * longest path — hence the generous default `maxIter` and a loud,
+  * actionable error on non-convergence.
   */
 object KCore {
 
   /** @param edges undirected (src, dst) — canonicalized/deduped here
     * @return (node, core_deg): the nodes of the k-core with their degree
     *         INSIDE the core subgraph (all ≥ k by definition) */
-  def nodes(edges: DataFrame, k: Int, maxIter: Int = 50,
+  def nodes(edges: DataFrame, k: Int, maxIter: Int = 200,
       reliableEvery: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = Checkpoints.cut(Triangles.canonical(edges), 0, reliableEvery)
@@ -50,7 +55,8 @@ object KCore {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"KCore did not converge in $maxIter rounds — peel depth exceeds the bound")
+        s"KCore did not converge in $maxIter rounds — this graph's peel depth exceeds " +
+          s"maxIter (long chains peel one hop per round); raise maxIter to proceed")
     e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .groupBy("src").agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))

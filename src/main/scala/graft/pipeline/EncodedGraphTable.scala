@@ -1,41 +1,58 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.{Triple, Vocab => V}
+import graft.model.Triple
 import graft.pipeline.KgPipeline.EncTriple
-import graft.synth.PagesSynth
 
 /** The dictionary-encoded graph TABLE — the 100 TB storage shape the
   * encoded stream implies: triples land as FIXED-WIDTH numeric rows
   * (≈40 B vs ≈117 B Tungsten, and far less on disk after parquet's
   * delta/dictionary encodings on integer columns), with the string
-  * dictionaries written ONCE as tiny sidecars:
+  * dictionaries written as sidecar TABLES:
   *
   *   target/triples/        (page_id, pred_id, ent_id, lit) parquet
-  *   target/dict_entities/  (ent_id, iri)
-  *   target/dict_preds/     (pred_id, iri)
-  *   target/dict_langs/     (lang_id, lang)
-  *   target/_meta           corpus size n (the page-id → url function's
-  *                          parameter — a real corpus stores a page
-  *                          dictionary table here instead)
+  *   target/dict_pages/     (page_id, url)  — the page dictionary, WRITTEN
+  *                          FROM DATA (a web-scale corpus has 10^12 rows
+  *                          here; it is a real table, never a broadcast map)
+  *   target/dict_entities/  (ent_id, iri)   — likewise data, 10^7-10^9 rows
+  *                          at a web-scale KG
+  *   target/dict_preds/     (pred_id, iri)  — closed vocabulary, tiny
+  *   target/dict_langs/     (lang_id, lang) — closed vocabulary, tiny
+  *   target/_meta           corpus row metadata (n_pages)
   *
-  * `read` decodes at the consumer edge FROM THE STORED SIDECARS (not the
-  * in-memory vocab), so the table is self-describing; the round-trip spec
-  * transitively proves the sidecars complete. Scans that filter on
-  * predicate or entity push integer comparisons down to parquet
-  * (min/max + dictionary pages) — the cheap-scan shape string tables
-  * cannot match at scale.
+  * `read` decodes at the consumer edge FROM THE STORED SIDECARS by JOINING
+  * the fact table to the page and entity dictionaries (AQE picks broadcast
+  * vs shuffle by actual dictionary size — at this corpus's scale both
+  * broadcast; at web scale they become shuffle joins, which is the only
+  * shape that survives an unbounded vocabulary). Only the CLOSED pred/lang
+  * vocabularies decode via in-plan literal maps. Nothing here knows how the
+  * corpus was synthesized — the storage layer reads what the writer stored
+  * (the reference analog: instance names come from the document, not a
+  * formula — CityModel.cpp:361).
+  *
+  * Scans that filter on predicate or entity push integer comparisons down
+  * to parquet (min/max + dictionary pages) — the cheap-scan shape string
+  * tables cannot match at scale.
   */
 object EncodedGraphTable {
 
-  def write(enc: Dataset[EncTriple], n: Long, target: String, parts: Int = 32): Unit = {
+  /** Write the encoded fact table plus its dictionary sidecars. `pageDict`
+    * (page_id, url) and `entityDict` (ent_id, iri) arrive as DATA — the
+    * writer owns their provenance; the open-vocabulary dictionaries keep
+    * their own partitioning (they scale with the corpus), the closed
+    * pred/lang vocabularies coalesce to single tiny files. */
+  def write(enc: Dataset[EncTriple], pageDict: DataFrame, entityDict: DataFrame,
+            n: Long, target: String, parts: Int = 32): Unit = {
     val spark = enc.sparkSession
     import spark.implicits._
     enc.repartition(parts, col("page_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$target/triples")
-    (0 until PagesSynth.NumEntities).map(i => (i, PagesSynth.entityIri(i)))
-      .toDF("ent_id", "iri").coalesce(1)
+    pageDict.select(col("page_id").cast("long"), col("url"))
+      .repartition(math.max(1, parts / 4), col("page_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$target/dict_pages")
+    entityDict.select(col("ent_id").cast("int"), col("iri"))
+      .repartition(math.max(1, parts / 8), col("ent_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$target/dict_entities")
     KgPipeline.PredVocab.zipWithIndex.map { case (iri, id) => (id, iri) }
       .toDF("pred_id", "iri").coalesce(1)
@@ -56,6 +73,14 @@ object EncodedGraphTable {
     spark.read.parquet(s"$target/triples").as[EncTriple]
   }
 
+  /** The stored page dictionary table (page_id, url). */
+  def readPageDict(spark: SparkSession, target: String): DataFrame =
+    spark.read.parquet(s"$target/dict_pages")
+
+  /** The stored entity dictionary table (ent_id, iri). */
+  def readEntityDict(spark: SparkSession, target: String): DataFrame =
+    spark.read.parquet(s"$target/dict_entities")
+
   def nPages(spark: SparkSession, target: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$target/_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -65,37 +90,21 @@ object EncodedGraphTable {
       .getOrElse(throw new IllegalStateException(s"malformed _meta at $target: $s"))
   }
 
-  /** Decoded read: strings materialize HERE, from the stored dictionaries
-    * (broadcast — they are a few hundred rows beside a trillion-row fact
-    * table). Multiset-identical to the string pipeline's page triples. */
+  /** Decoded read: strings materialize HERE, by joining the fact table to
+    * the stored page and entity dictionary tables (the scale-safe decode —
+    * no dictionary ever touches the driver), then decoding the closed
+    * pred/lang vocabularies in-plan. Multiset-identical to the string
+    * pipeline's page triples. */
   def read(spark: SparkSession, target: String): Dataset[Triple] = {
-    import spark.implicits._
-    val n = nPages(spark, target)
-    val ents = spark.read.parquet(s"$target/dict_entities")
-      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     val preds = spark.read.parquet(s"$target/dict_preds")
-      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap // closed vocab: 5 rows
     val langs = spark.read.parquet(s"$target/dict_langs")
-      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
-    val bEnts = spark.sparkContext.broadcast(ents)
-    val bPreds = spark.sparkContext.broadcast(preds)
-    val bLangs = spark.sparkContext.broadcast(langs)
-    readEncoded(spark, target).mapPartitions { it =>
-      val en = bEnts.value; val pr = bPreds.value; val la = bLangs.value
-      it.map { t =>
-        val url = PagesSynth.urlAt(t.page_id, n)
-        val pred = pr.getOrElse(t.pred_id,
-          throw new IllegalArgumentException(s"unknown pred_id ${t.pred_id} (stale dict_preds?)"))
-        t.pred_id match {
-          case KgPipeline.PredType => Triple(url, pred, V.WebPage, null, null)
-          case KgPipeline.PredLang => Triple(url, pred, null, la(t.lit.toInt), V.XsdString)
-          case KgPipeline.PredWarcTs => Triple(url, pred, null, t.lit.toString, V.XsdLong)
-          case KgPipeline.PredNChars => Triple(url, pred, null, t.lit.toString, V.XsdLong)
-          case KgPipeline.PredMentions =>
-            Triple(url, pred, en(t.ent_id), s"${(t.lit >>> 32).toInt}:${t.lit.toInt}", null)
-          case other => throw new IllegalArgumentException(s"pred_id $other has no decode rule")
-        }
-      }
-    }
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap // closed vocab: 5 rows
+    val fact = spark.read.parquet(s"$target/triples")
+    val withUrl = fact
+      .join(readPageDict(spark, target), Seq("page_id"))
+      .join(readEntityDict(spark, target).withColumnRenamed("iri", "ent_iri"),
+        Seq("ent_id"), "left") // ent_id = -1 on non-mention rows
+    KgPipeline.decodeColumns(withUrl, preds, langs)
   }
 }

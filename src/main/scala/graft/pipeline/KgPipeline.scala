@@ -161,33 +161,88 @@ object KgPipeline {
     }
   }
 
-  /** Triple emission for the encoded stream: the ONLY stage that
-    * materializes IRI strings — entity IRIs from a broadcast id→IRI
-    * dictionary, predicates from the static vocab, page urls from the
-    * corpus's id→url function (a real corpus joins its page dictionary
-    * here instead). Narrow; spec-locked multiset-identical to [[triples]]
-    * (modulo the once-per-job ontology triples, emitted separately). */
+  /** Column-level triple decode shared by the in-memory stream and the
+    * stored table: input must carry (url, pred_id, ent_id, ent_iri, lit),
+    * where `url` and `ent_iri` were resolved UPSTREAM from their (open,
+    * unbounded) dictionaries — by join for stored tables, by the corpus's
+    * id→url function for the in-memory synthetic stream. Only the CLOSED
+    * pred/lang vocabularies decode here, as in-plan literal `when` chains
+    * (codegen-friendly, no broadcast, no driver state). Unknown pred_ids
+    * and unresolved entity ids fail loudly via `raise_error`. */
+  def decodeColumns(df: DataFrame, preds: Map[Int, String], langs: Map[Int, String]): Dataset[Triple] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def chain(m: Map[Int, String], c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      m.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) => when(c === k, lit(v)).otherwise(acc) }
+    val pid = col("pred_id")
+    val pred = coalesce(chain(preds, pid),
+      raise_error(concat(lit("pred_id has no decode rule: "), pid.cast("string"))))
+    val objIri = when(pid === PredType, lit(V.WebPage))
+      .when(pid === PredMentions, coalesce(col("ent_iri"),
+        raise_error(concat(lit("unknown ent_id "), col("ent_id").cast("string")))))
+    val objLit = when(pid === PredLang, coalesce(chain(langs, col("lit").cast("int")),
+        raise_error(concat(lit("unknown lang_id "), col("lit").cast("string")))))
+      .when(pid === PredWarcTs || pid === PredNChars, col("lit").cast("string"))
+      .when(pid === PredMentions, concat(
+        shiftrightunsigned(col("lit"), 32).cast("string"), lit(":"),
+        col("lit").bitwiseAND(lit(0xffffffffL)).cast("string")))
+    val objType = when(pid === PredLang, lit(V.XsdString))
+      .when(pid === PredWarcTs || pid === PredNChars, lit(V.XsdLong))
+    df.select(col("url").as("subj"), pred.as("pred"), objIri.as("obj_iri"),
+      objLit.as("obj_lit"), objType.as("obj_type")).as[Triple]
+  }
+
+  /** Triple emission for the in-memory encoded stream: entity IRIs resolve
+    * by JOIN against the entity dictionary Dataset (AQE broadcasts it while
+    * the vocabulary is small and shuffles when it is not — the decode never
+    * assumes the dictionary fits the driver); page urls from the synthetic
+    * corpus's id→url function (the stored-table path joins a page
+    * dictionary instead, EncodedGraphTable.read). Spec-locked
+    * multiset-identical to [[triples]] (modulo the once-per-job ontology
+    * triples, emitted separately). */
   def decodeTriples(enc: Dataset[EncTriple], n: Long): Dataset[Triple] = {
     val spark = enc.sparkSession
     import spark.implicits._
-    val bEnt = spark.sparkContext.broadcast(
-      Array.tabulate(PagesSynth.NumEntities)(PagesSynth.entityIri))
-    enc.mapPartitions { it =>
-      val ents = bEnt.value
-      it.map { t =>
-        val url = PagesSynth.urlAt(t.page_id, n)
-        t.pred_id match {
-          case PredType => Triple(url, V.RdfType, V.WebPage, null, null)
-          case PredLang => Triple(url, V.WebLang, null, Langs(t.lit.toInt), V.XsdString)
-          case PredWarcTs => Triple(url, V.WebWarcTs, null, t.lit.toString, V.XsdLong)
-          case PredNChars => Triple(url, V.WebNChars, null, t.lit.toString, V.XsdLong)
-          case PredMentions =>
-            Triple(url, V.WebMentions, ents(t.ent_id),
-              s"${(t.lit >>> 32).toInt}:${t.lit.toInt}", null)
-          case other => throw new IllegalArgumentException(s"unknown pred_id $other")
-        }
-      }
+    val withUrl = enc.mapPartitions(_.map(t =>
+        (PagesSynth.urlAt(t.page_id, n), t.pred_id, t.ent_id, t.lit)))
+      .toDF("url", "pred_id", "ent_id", "lit")
+    val dict = PagesSynth.entityDict(spark).withColumnRenamed("iri", "ent_iri")
+    decodeColumns(withUrl.join(dict, Seq("ent_id"), "left"),
+      PredVocab.zipWithIndex.map(_.swap).toMap, Langs.zipWithIndex.map(_.swap).toMap)
+  }
+
+  /** Encoded emission from an EXTRACTED page stream (batch or streaming —
+    * the encoded table's catch-up path): mention/base rows emit narrow with
+    * the page URL, then the page_id resolves by JOIN against the page
+    * dictionary (stream-static for streaming) — ids come from the
+    * dictionary, never from parsing the url. Multiset-identical to
+    * [[encodedTriples]] over the same pages (spec-locked). */
+  def encodeExtracted(ext: Dataset[ExtractedPage], pageDict: DataFrame): Dataset[EncTriple] = {
+    val spark = ext.sparkSession
+    import spark.implicits._
+    val aliasEnt: Map[String, Int] = PagesSynth.aliasMap.map { case (k, v) =>
+      k -> v.head._1.stripPrefix("ent:e").toInt
     }
+    val bAlias = spark.sparkContext.broadcast(aliasEnt)
+    val bDict = spark.sparkContext.broadcast(MentionDetect.buildDictionary(PagesSynth.aliasMap.keys))
+    val rows = ext.mapPartitions { it =>
+      val am = bAlias.value
+      val dict = bDict.value
+      it.flatMap { p =>
+        val base = Iterator(
+          (p.url, PredType, -1, 0L),
+          (p.url, PredLang, -1, Langs.indexOf(p.lang).toLong),
+          (p.url, PredWarcTs, -1, p.warc_ms),
+          (p.url, PredNChars, -1, p.text.length.toLong))
+        val mentions = MentionDetect.detect(p.url, p.text, dict).iterator.flatMap { mn =>
+          am.get(mn.alias_norm).map(ent =>
+            (p.url, PredMentions, ent, (mn.span_start.toLong << 32) | (mn.span_end.toLong & 0xffffffffL)))
+        }
+        base ++ mentions
+      }
+    }.toDF("url", "pred_id", "ent_id", "lit")
+    rows.join(pageDict.select(col("page_id").cast("long"), col("url")), Seq("url"))
+      .select(col("page_id"), col("pred_id"), col("ent_id"), col("lit")).as[EncTriple]
   }
 
   /** Salted repartition for the graph write (north rule): partition key is

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.model.Triple
 
 /** N-Triples 1.1 serialization of the graft triple model — the standard
@@ -63,10 +64,30 @@ object NTriples {
     new String(out.toByteArray, "UTF-8")
   }
 
+  /** Characters N-Triples 1.1 forbids inside an IRIREF (plus the ones that
+    * would break our own line scan). Absolute IRIs pass through UNCHANGED
+    * (percent-encoding them would break `parse∘line` bijectivity), so a
+    * Triple carrying one of these in an absolute IRI cannot serialize
+    * losslessly — [[line]] rejects it loudly instead of emitting a corrupt
+    * or ambiguous line. */
+  private def invalidInAbsoluteIri(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c <= ' ' || c == '<' || c == '>' || c == '"' || c == '{' || c == '}' ||
+        c == '|' || c == '^' || c == '`' || c == '\\') return true
+      i += 1
+    }
+    s.contains(AnnMarker) // would collide with the annotation convention
+  }
+
   /** compact engine name → absolute IRI (bijective with [[compactIri]]) */
   def expandIri(name: String): String =
-    if (name.contains("://")) name // already absolute (page urls)
-    else Prefixes.find { case (p, _) => name.startsWith(p) } match {
+    if (name.contains("://")) { // already absolute (page urls)
+      require(!invalidInAbsoluteIri(name),
+        s"absolute IRI contains characters invalid in N-Triples (or the ${AnnMarker} marker): $name")
+      name
+    } else Prefixes.find { case (p, _) => name.startsWith(p) } match {
       case Some((p, ns)) => ns + encodeName(name.stripPrefix(p))
       case None => DefaultNs + encodeName(name)
     }
@@ -118,6 +139,8 @@ object NTriples {
   private val AnnMarker = "?graft_ann="
 
   def line(t: Triple): String = {
+    require(t.obj_iri == null || t.obj_type == null,
+      s"a triple cannot carry both obj_iri and obj_type (datatypes apply to literals): $t")
     val obj =
       if (t.obj_iri != null) {
         val ann = if (t.obj_lit != null) AnnMarker + encodeName(t.obj_lit) else ""
@@ -128,18 +151,28 @@ object NTriples {
     s"<${expandIri(t.subj)}> <${expandIri(t.pred)}> $obj ."
   }
 
+  /** Every delimiter lookup is bounds-checked with the offending line in
+    * the message — a malformed line yields a clean IllegalArgumentException
+    * (never StringIndexOutOfBounds or a runaway scan), which the lenient
+    * reader turns into an error-side-channel row. */
   def parse(ln: String): Triple = {
     val s = ln.trim
-    require(s.endsWith("."), s"not an N-Triples line: $ln")
-    def iriEnd(from: Int): Int = s.indexOf('>', from)
+    require(s.endsWith("."), s"not an N-Triples line (no terminating '.'): $ln")
+    def iriEnd(from: Int): Int = {
+      val e = s.indexOf('>', from)
+      require(e > 0, s"unterminated IRI (no '>'): $ln")
+      e
+    }
     require(s.startsWith("<"), s"subject must be an IRI: $ln")
     val se = iriEnd(1)
     val subj = compactIri(s.substring(1, se))
     val ps = s.indexOf('<', se + 1)
+    require(ps > 0, s"missing predicate IRI: $ln")
     val pe = iriEnd(ps + 1)
     val pred = compactIri(s.substring(ps + 1, pe))
     var i = pe + 1
-    while (s.charAt(i) == ' ') i += 1
+    while (i < s.length && s.charAt(i) == ' ') i += 1
+    require(i < s.length - 1, s"missing object term: $ln")
     if (s.charAt(i) == '<') {
       val oe = iriEnd(i + 1)
       val raw = s.substring(i + 1, oe)
@@ -152,18 +185,28 @@ object NTriples {
       require(s.charAt(i) == '"', s"object must be IRI or literal: $ln")
       // find the closing unescaped quote
       var j = i + 1
-      while (!(s.charAt(j) == '"' && {
+      while (j < s.length && !(s.charAt(j) == '"' && {
         var bs = 0; var k = j - 1
         while (s.charAt(k) == '\\') { bs += 1; k -= 1 }
         bs % 2 == 0
       })) j += 1
+      require(j < s.length, s"unterminated literal (no closing '\"'): $ln")
       val lit = unescapeLit(s.substring(i + 1, j))
       if (j + 2 < s.length && s.charAt(j + 1) == '^' && s.charAt(j + 2) == '^') {
+        require(j + 4 < s.length && s.charAt(j + 3) == '<', s"malformed datatype suffix: $ln")
         val de = iriEnd(j + 4)
         Triple(subj, pred, null, lit, compactIri(s.substring(j + 4, de)))
       } else Triple(subj, pred, null, lit, null)
     }
   }
+
+  /** Per-line error isolation for foreign files: a malformed line becomes a
+    * Left(message) instead of failing the task — the P6 discipline
+    * (per-object error isolation, cj/CjGeometry.scala) applied to the
+    * interchange boundary, where other people's files are the norm. */
+  def parseEither(ln: String): Either[String, Triple] =
+    try Right(parse(ln))
+    catch { case e if scala.util.control.NonFatal(e) => Left(String.valueOf(e.getMessage)) }
 
   /** GraphSink over N-Triples text files: the interchange layout. */
   final class Files(parts: Int = 32) extends GraphSink {
@@ -173,9 +216,25 @@ object NTriples {
       import spark.implicits._
       triples.repartition(parts).map(line).write.mode(SaveMode.Overwrite).text(target)
     }
-    def read(spark: SparkSession, target: String): DataFrame = {
+
+    /** All lines, leniently: good triples carry a null `_error`; malformed
+      * lines carry the parse failure (and null triple columns) — one
+      * corrupt line in a foreign file never kills the distributed read. */
+    def readAll(spark: SparkSession, target: String): DataFrame = {
       import spark.implicits._
-      spark.read.textFile(target).map(parse).toDF()
+      spark.read.textFile(target).map { ln =>
+        parseEither(ln) match {
+          case Right(t) => (t.subj, t.pred, t.obj_iri, t.obj_lit, t.obj_type, null: String)
+          case Left(err) => (null: String, null: String, null: String, null: String, null: String, err)
+        }
+      }.toDF("subj", "pred", "obj_iri", "obj_lit", "obj_type", "_error")
     }
+
+    /** Malformed lines only — the error side channel. */
+    def errors(spark: SparkSession, target: String): DataFrame =
+      readAll(spark, target).filter(col("_error").isNotNull).select("_error")
+
+    def read(spark: SparkSession, target: String): DataFrame =
+      readAll(spark, target).filter(col("_error").isNull).drop("_error")
   }
 }

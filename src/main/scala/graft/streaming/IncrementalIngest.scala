@@ -41,4 +41,37 @@ object IncrementalIngest {
     val q = start(spark, pagesDir, graphDir, checkpointDir)
     q.awaitTermination()
   }
+
+  /** Encoded-path catch-up (the 100 TB table shape's ingest): the same
+    * AvailableNow file stream, but rows land in the DICTIONARY-ENCODED fact
+    * table (`<table>/triples`, EncodedGraphTable's layout) as fixed-width
+    * numerics. page_ids resolve by a STREAM-STATIC JOIN against the page
+    * dictionary (`pageDict`, typically `EncodedGraphTable.readPageDict` of
+    * the table being appended to) — ids come from the dictionary, never
+    * from parsing urls, so late-arriving snapshot files of already-minted
+    * pages encode consistently. Exactly-once per file via the streaming
+    * checkpoint, like the string path. */
+  def startEncoded(spark: SparkSession, pagesDir: String, tableDir: String,
+      checkpointDir: String, pageDict: org.apache.spark.sql.DataFrame): StreamingQuery = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(pagesDir)
+      .as[Page]
+    val enc = KgPipeline.encodeExtracted(KgPipeline.extracted(pages), pageDict)
+    enc.writeStream
+      .format("parquet")
+      .option("path", s"$tableDir/triples")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Convenience: run one encoded catch-up pass to completion. */
+  def runOnceEncoded(spark: SparkSession, pagesDir: String, tableDir: String,
+      checkpointDir: String, pageDict: org.apache.spark.sql.DataFrame): Unit = {
+    val q = startEncoded(spark, pagesDir, tableDir, checkpointDir, pageDict)
+    q.awaitTermination()
+  }
 }

@@ -190,4 +190,24 @@ object PagesSynth {
     import spark.implicits._
     spark.createDataset(aliasIndex)
   }
+
+  /** The page dictionary (page_id, url) AS A DATASET — what a real corpus
+    * materializes beside its encoded fact table (EncodedGraphTable's
+    * dict_pages sidecar). Generated distributively: at 10^12 pages this is
+    * a table, never a driver map. */
+  def pageDict(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, rangeParts(spark, n))
+      .mapPartitions(_.map(i => (i, urlAt(i, n)))).toDF("page_id", "url")
+  }
+
+  /** The entity dictionary (ent_id, iri) as a Dataset, generated
+    * distributively — decode paths JOIN it (AQE broadcasts while it is
+    * small) rather than collecting it to the driver, so the same code
+    * survives a 10^9-entity vocabulary. */
+  def entityDict(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, NumEntities)
+      .mapPartitions(_.map(i => (i.toInt, entityIri(i.toInt)))).toDF("ent_id", "iri")
+  }
 }

@@ -41,7 +41,9 @@ object SkewBench {
     // planted Zipf-hot-host corpus: host 0 owns 30% of pages, the rest
     // spread over 997 hosts; subject = host node (the skew-bearing key)
     val triples: Dataset[Triple] = spark.range(0, pages, 1, 64).map { i =>
-      val host = if (i % 10 < 3) 0L else 1 + (i * 2654435761L) % 997
+      // floorMod: the multiply overflows Long past ~3.5e9 pages and a plain
+      // % would then yield negative host ids, skewing the planted distribution
+      val host = if (i % 10 < 3) 0L else 1 + Math.floorMod(i * 2654435761L, 997L)
       Triple(s"web:host/$host", "web:hosts", s"https://host-$host.example/p/$i", null, null)
     }
 

@@ -158,6 +158,44 @@ class PlanQualitySpec extends SparkTestBase {
       "bloom prefilter changed decontamination output")
   }
 
+  test("kg_stored_neighbors reads the bucketed table with the pred filter pushed and never re-shuffles by page") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // AQE off so the static plan is inspectable without executing (the
+    // query itself runs under AQE everywhere else)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf("kg_stored_neighbors")
+      val s = plan.toString
+      // mention-predicate filter reaches the parquet scan of the stored table
+      assert(s.contains("PushedFilters: [IsNotNull(pred), EqualTo(pred,web:mentions)]"), s)
+      // the traversal is genuine joins over the stored table...
+      assert(s.contains("Join"), s)
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+      // ...and NOTHING re-partitions by the bucket key: the page-level
+      // dedup and the page-keyed self-join both consume the table's
+      // bucket partitioning directly (the layout's entire payoff — the
+      // only shuffles left are the tiny seed/agg exchanges on other keys)
+      val pageShuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.references.exists(a => a.name == "page" || a.name == "subj")
+          case _ => false
+        })
+      assert(pageShuffles.isEmpty,
+        s"stored traversal re-shuffled by the bucket key:\n$s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("kg_encoded_degree pushes the integer pred filter into the encoded-table scan") {
+    val plan = planOf("kg_encoded_degree").toString
+    // integer min/max + dictionary-page pushdown on the fixed-width fact
+    // table — the scan shape the encoded layout exists for
+    assert(plan.contains("PushedFilters: [IsNotNull(pred_id), EqualTo(pred_id,4)]"), plan)
+    // id-space end to end: the aggregation never touches a string column
+    assert(!plan.contains("url") && !plan.contains("iri,"), plan)
+  }
+
   test("no driver-contract query plans a cartesian product") {
     // ALL queries; emb_pairs_cosine's bounded-head brute force is the
     // documented exception (nested-loop on 120 rows by design)

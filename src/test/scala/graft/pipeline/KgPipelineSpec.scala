@@ -147,7 +147,8 @@ class KgPipelineSpec extends SparkTestBase {
   test("encoded graph table: fixed-width parquet + sidecar dictionaries round-trip to the exact string triples") {
     val n = 300L
     val dir = Files.createTempDirectory("encg").toString + "/g"
-    EncodedGraphTable.write(KgPipeline.encodedTriples(spark, n), n, dir, parts = 4)
+    EncodedGraphTable.write(KgPipeline.encodedTriples(spark, n),
+      PagesSynth.pageDict(spark, n), PagesSynth.entityDict(spark), n, dir, parts = 4)
     // the fact table carries NO string columns — fixed-width only
     val schema = spark.read.parquet(s"$dir/triples").schema
     assert(schema.fields.forall(f =>
@@ -164,6 +165,40 @@ class KgPipelineSpec extends SparkTestBase {
       .filter(_.pred_id == KgPipeline.PredMentions).groupBy("ent_id").count()
     val decDeg = expected.filter(col("pred") === "web:mentions").groupBy("obj_iri").count()
     assert(encDeg.agg(sum("count")).head.getLong(0) == decDeg.agg(sum("count")).head.getLong(0))
+  }
+
+  test("stored-table decode is dictionary-JOIN based, decoupled from the corpus generator") {
+    // the storage layer must know nothing about how the corpus was
+    // synthesized: urls and entity IRIs come from the stored dict_pages /
+    // dict_entities sidecar TABLES via joins (the only shape that survives
+    // an unbounded vocabulary), never from PagesSynth or a driver collect
+    val src = Files.readString(java.nio.file.Paths.get(
+      "src/main/scala/graft/pipeline/EncodedGraphTable.scala"))
+    assert(!src.contains("PagesSynth"), "storage layer re-coupled to the synthetic corpus")
+    assert(!src.contains("broadcast("), "decode must let AQE pick the join strategy")
+
+    val n = 120L
+    val dir = Files.createTempDirectory("encj").toString + "/g"
+    EncodedGraphTable.write(KgPipeline.encodedTriples(spark, n),
+      PagesSynth.pageDict(spark, n), PagesSynth.entityDict(spark), n, dir, parts = 2)
+    val decoded = EncodedGraphTable.read(spark, dir)
+    // the decode PLAN joins both open-vocabulary dictionaries (2 joins);
+    // pred/lang stay in-plan literal chains (closed vocab)
+    val plan = decoded.queryExecution.executedPlan.toString
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins >= 2, s"expected page+entity dictionary joins in decode plan:\n$plan")
+    assert(decoded.count() > 0)
+    // and a tampered page dictionary changes the decode output (proof the
+    // urls really come from the stored sidecar, not a formula)
+    val sps = spark; import sps.implicits._
+    spark.read.parquet(s"$dir/dict_pages")
+      .select(col("page_id"), concat(lit("swapped://"), col("url")).as("url"))
+      .write.mode("overwrite").parquet(s"$dir/dict_pages_tmp")
+    val fs = new java.io.File(s"$dir/dict_pages")
+    org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    new java.io.File(s"$dir/dict_pages_tmp").renameTo(fs)
+    val swapped = EncodedGraphTable.read(spark, dir)
+    assert(swapped.filter(col("subj").startsWith("swapped://")).count() == swapped.count())
   }
 
   test("snapshot pointer commits by rename; a torn pointer falls back to the newest complete snapshot") {

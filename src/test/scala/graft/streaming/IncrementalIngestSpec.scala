@@ -44,4 +44,44 @@ class IncrementalIngestSpec extends SparkTestBase {
     assert(after2.exceptAll(batch).count() == 0 && batch.exceptAll(after2).count() == 0,
       "streaming output must equal batch output as a multiset")
   }
+
+  test("encoded-path ingest appends fixed-width rows exactly once, multiset-equal to the batch encoded pipeline") {
+    val root = Files.createTempDirectory("ingest_enc").toString
+    val pagesDir = s"$root/pages"
+    val tableDir = s"$root/table"
+    val ckpt = s"$root/ckpt"
+    val n = 150L
+    val sps = spark; import sps.implicits._
+
+    // the page dictionary is minted up front (ids are dictionary facts, not
+    // url parses) — the stream-static join resolves page_ids against it
+    val dict = PagesSynth.pageDict(spark, n)
+
+    // snapshot 1: pages [0, 100)
+    spark.range(0, 100).mapPartitions(_.map(i => PagesSynth.pageAt(i, n).page))
+      .write.mode("append").parquet(pagesDir)
+    IncrementalIngest.runOnceEncoded(spark, pagesDir, tableDir, ckpt, dict)
+    val n1 = spark.read.parquet(s"$tableDir/triples").count()
+    assert(n1 >= 400, s"4 base triples per page expected, got $n1")
+
+    // exactly-once: a no-op pass appends nothing
+    IncrementalIngest.runOnceEncoded(spark, pagesDir, tableDir, ckpt, dict)
+    assert(spark.read.parquet(s"$tableDir/triples").count() == n1)
+
+    // snapshot 2: the rest of the corpus
+    spark.range(100, n).mapPartitions(_.map(i => PagesSynth.pageAt(i, n).page))
+      .write.mode("append").parquet(pagesDir)
+    IncrementalIngest.runOnceEncoded(spark, pagesDir, tableDir, ckpt, dict)
+    val fact = spark.read.parquet(s"$tableDir/triples")
+
+    // the streamed fact table is pure fixed-width numerics...
+    assert(fact.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType), fact.schema.toString)
+    // ...and multiset-identical to the batch encoded pipeline over the
+    // same corpus — the catch-up path lands EXACTLY the batch table's rows
+    val batch = graft.pipeline.KgPipeline.encodedTriples(spark, n).toDF()
+    assert(fact.exceptAll(batch).count() == 0 && batch.exceptAll(fact).count() == 0,
+      "encoded streaming output must equal batch encoded output as a multiset")
+  }
 }
