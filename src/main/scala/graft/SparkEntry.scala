@@ -210,6 +210,14 @@ object SparkEntry {
       // shared-page counts.
       val n = PagesSynth.pageCount(dir)
       val table = s"graft_stored_graph_$n"
+      // a stale managed-table location from a PREVIOUS session's warehouse
+      // survives a fresh metastore (DROP TABLE doesn't know it) and blocks
+      // saveAsTable — clear both catalog entry and directory before writing
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val loc = new java.io.File(
+        if (wh.getScheme == null) wh.toString else wh.getPath, table)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
       KgPipeline.writeBucketedGraph(KgPipeline.triples(s, n), table, buckets = 32)
       val g = s.table(table)
       val edges = g.filter(col("pred") === "web:mentions")
@@ -220,6 +228,29 @@ object SparkEntry {
         .join(edges.withColumnRenamed("ent", "neighbor"), "page")
         .filter(col("neighbor") =!= col("seed"))
         .groupBy("seed", "neighbor").agg(countDistinct(col("page")).as("n_pages"))
+    }),
+    "kg_validate_range" -> ((s, dir) => {
+      import s.implicits._
+      // ontology range-conformance gate over the emitted graph (the
+      // publish-time integrity check), with DETERMINISTIC planted
+      // violations — mention edges rewritten onto unregistered entity
+      // IRIs — proving the gate fires: the conforming corpus contributes
+      // ZERO violations (every linked entity carries rdf:type web:Entity),
+      // so the output is exactly the planted set, which the oracle
+      // re-derives independently from the aux_links dump. The range
+      // declarations come from the graph's own graft:range triples.
+      val n = PagesSynth.pageCount(dir)
+      val base = KgPipeline.triples(s, n)
+      val links = KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, n)), PagesSynth.aliasMap)
+      val planted = links.toDF().filter(col("entity_iri").endsWith("7"))
+        .select(col("url").as("subj"), lit("web:mentions").as("pred"),
+          concat(lit("bogus:"), col("entity_iri")).as("obj_iri"),
+          lit(null).cast("string").as("obj_lit"),
+          lit(null).cast("string").as("obj_type"))
+        .as[graft.model.Triple]
+      graft.operators.Validate.rangeViolations(base.unionAll(planted))
+        .select("subj", "pred", "obj_iri").distinct()
     }),
     "kg_encoded_degree" -> ((s, dir) => {
       // mention-degree per entity computed ENTIRELY in id space over the
@@ -1286,6 +1317,11 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                         UNION SELECT seed, n2 FROM h2)
          SELECT seed, COUNT(*) AS n_within_2_hops
          FROM reach WHERE entity <> seed GROUP BY seed""",
+    "kg_validate_range" ->
+      """SELECT DISTINCT url AS subj, 'web:mentions' AS pred,
+                'bogus:' || entity_iri AS obj_iri
+         FROM read_parquet('{OUT}/aux_links/*.parquet')
+         WHERE entity_iri LIKE '%7'""",
     "kg_encoded_degree" ->
       """SELECT ent_id, COUNT(*) AS n_mentions
          FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')

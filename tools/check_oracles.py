@@ -46,5 +46,11 @@ for name in sorted(os.listdir(out)):
         print(f'{name:32s} MISMATCH cols={sc==oc} rows={sn}/{on} hash={sh==oh}')
     else:
         print(f'{name:32s} ok ({sn} rows)')
+# an oracle whose dump is missing means the Spark query FAILED in Verify —
+# never let that pass silently
+for name in sorted(oracle):
+    if not os.path.isdir(f'{out}/{name}'):
+        print(f'{name:32s} DUMP MISSING (query failed in Verify?)')
+        fails.append(name)
 print(f'\n{"ALL PASS" if not fails else "FAILED: " + ", ".join(fails)}')
 sys.exit(1 if fails else 0)
