@@ -328,6 +328,35 @@ object SparkEntry {
         .join(pageCounts.select(col("entity_iri").as("e2"), col("n").as("n_e2")), "e2")
         .select("e1", "e2", "n_both", "n_e1", "n_e2")
     }),
+    "kg_heavy_entities" -> ((s, dir) => {
+      // heavy entities per language: entities owning > 1/32 of their
+      // language's mention stream. Sketch-prune + exact-verify: a
+      // per-group Misra-Gries sketch (graft_heavy_hitters, k=64 — a
+      // native TypedImperativeAggregate with bounded O(k) mergeable state,
+      // partial-aggregated map-side) nominates candidates; its guarantee
+      // (nothing above n/(k+1) = n/65 is ever dropped) makes the candidate
+      // set a superset of the n/32 threshold, and one exact count over the
+      // candidate-pruned stream makes the OUTPUT exact and
+      // partition-invariant even though the sketch itself is neither. At
+      // 100 TB the sketch pass replaces an exact full aggregation whose
+      // per-group state is O(vocabulary).
+      val n = PagesSynth.pageCount(dir)
+      val ext = KgPipeline.extracted(PagesSynth.pages(s, n)).toDF().select("url", "lang")
+      val links = KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, n)), PagesSynth.aliasMap)
+        .toDF().select("url", "entity_iri")
+      val stream = links.join(ext, "url").select("lang", "entity_iri").localCheckpoint()
+      graft.functions.MisraGriesAgg.register(s)
+      val cands = stream.groupBy("lang")
+        .agg(graft.functions.MisraGriesAgg.graft_heavy_hitters(col("entity_iri"), 64).as("sketch"))
+        .select(col("lang"), explode(map_keys(col("sketch"))).as("entity_iri"))
+      val totals = stream.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      stream.join(cands, Seq("lang", "entity_iri"))
+        .groupBy("lang", "entity_iri").agg(count(lit(1)).as("n_mentions"))
+        .join(totals, "lang")
+        .filter(col("n_mentions") * 32 > col("n_lang"))
+        .select("lang", "entity_iri", "n_mentions")
+    }),
     "doc_token_hist" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // sequence-length histogram (64-token buckets) for packing/bucketing
@@ -1317,6 +1346,15 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                         UNION SELECT seed, n2 FROM h2)
          SELECT seed, COUNT(*) AS n_within_2_hops
          FROM reach WHERE entity <> seed GROUP BY seed""",
+    "kg_heavy_entities" ->
+      """WITH s AS (SELECT e.lang, l.entity_iri
+                    FROM read_parquet('{OUT}/aux_links/*.parquet') l
+                    JOIN read_parquet('{OUT}/aux_extracted/*.parquet') e USING (url)),
+              tot AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY lang)
+         SELECT s.lang, s.entity_iri, CAST(COUNT(*) AS BIGINT) AS n_mentions
+         FROM s JOIN tot USING (lang)
+         GROUP BY s.lang, s.entity_iri, tot.n
+         HAVING COUNT(*) * 32 > tot.n""",
     "kg_validate_range" ->
       """SELECT DISTINCT url AS subj, 'web:mentions' AS pred,
                 'bogus:' || entity_iri AS obj_iri

@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val (a, b) = CosineExpr.exactlyTwo("graft_cosine", exprs); CosineExpr(a, b)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
+      (exprs: Seq[Expression]) => MisraGriesAgg.buildFromExprs(exprs)))
   }
 }
 

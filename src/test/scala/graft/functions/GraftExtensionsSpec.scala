@@ -49,6 +49,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT graft_cosine(a) FROM cos_ext_t").collect()
       }
       assert(ec.getMessage.contains("graft_cosine"))
+
+      // graft_heavy_hitters rides the injection too (aggregate, grouped)
+      Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("g", "item")
+        .createOrReplaceTempView("hh_ext_t")
+      val hh = spark.sql(
+        "SELECT graft_heavy_hitters(item, 4) AS hh FROM hh_ext_t GROUP BY g")
+        .head.getMap[String, Long](0)
+      assert(hh == Map("x" -> 2L, "y" -> 1L))
+      val eh = intercept[org.apache.spark.sql.AnalysisException] {
+        // k must be an integer literal, not a column
+        spark.sql("SELECT graft_heavy_hitters(item, item) FROM hh_ext_t").collect()
+      }
+      assert(eh.getMessage.contains("graft_heavy_hitters"))
     } finally spark.stop()
   }
 }
