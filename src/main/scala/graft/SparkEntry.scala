@@ -525,6 +525,19 @@ object SparkEntry {
       graft.operators.AsofJoin.backward(purchases, views, "user_id", "ts", "ts", Seq("event_id"))
         .select(col("event_id"), col("asof_event_id").as("view_event_id"))
     }),
+    "ev_asof_join_native" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // same query through the native sort-merge AsofJoinExec (custom
+      // LogicalPlan + Strategy + SparkPlan, graft/plans/AsofJoinPlan.scala):
+      // per-side sorts + a streaming one-candidate merge instead of the
+      // composed union+window. Shares ev_asof_join's oracle — the two paths
+      // must be row-identical.
+      val ev = t(dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val views = ev.filter(col("event_type") === "view")
+      graft.plans.AsofJoinNative.backward(purchases, views, "user_id", "ts", "ts", Seq("event_id"))
+        .select(col("event_id"), col("asof_event_id").as("view_event_id"))
+    }),
     "ev_asof_join_tol" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // tolerance-bounded variant, microsecond-exact (oracled against DuckDB
@@ -1693,6 +1706,11 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
            CAST(SUM(ROUND(value*100)) AS BIGINT) AS value_cents
          FROM events GROUP BY event_type, date_trunc('hour', ts)""",
     "ev_asof_join" ->
+      """SELECT p.event_id, v.event_id AS view_event_id
+         FROM (SELECT * FROM events WHERE event_type='purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "ev_asof_join_native" ->
       """SELECT p.event_id, v.event_id AS view_event_id
          FROM (SELECT * FROM events WHERE event_type='purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v

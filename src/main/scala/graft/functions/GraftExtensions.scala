@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
       (exprs: Seq[Expression]) => MisraGriesAgg.buildFromExprs(exprs)))
+    // whole-operator rung: the native as-of join's planner strategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

@@ -62,6 +62,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT graft_heavy_hitters(item, item) FROM hh_ext_t").collect()
       }
       assert(eh.getMessage.contains("graft_heavy_hitters"))
+
+      // the native as-of join strategy rides the same extensions class
+      assert(spark.sessionState.planner.strategies.contains(graft.plans.AsofJoinStrategy),
+        "injectPlannerStrategy must register AsofJoinStrategy")
     } finally spark.stop()
   }
 }

@@ -30,4 +30,7 @@ grep -q "| tests | $total tests+properties green ($suites suites" README.md \
   || { echo "ERROR: tests row not updated — README table format drifted"; exit 1; }
 grep -q "| DuckDB oracle gate | \*\*$oracles/$oracles\*\*" README.md \
   || { echo "ERROR: oracle row not updated — README table format drifted"; exit 1; }
+sed -i -E "s/Driver contract: [0-9]+ \`SparkEntry.queries\`, ALL [0-9]+/Driver contract: $oracles \`SparkEntry.queries\`, ALL $oracles/" README.md
+grep -q "Driver contract: $oracles \`SparkEntry.queries\`, ALL $oracles" README.md \
+  || { echo "ERROR: driver-contract line not updated — README format drifted"; exit 1; }
 echo "README updated: $total tests / $suites suites / $oracles oracles"
