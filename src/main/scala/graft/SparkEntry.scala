@@ -551,6 +551,31 @@ object SparkEntry {
           Seq("event_id"), toleranceSec = Some(203))
         .select(col("event_id"), col("asof_event_id").as("view_event_id"))
     }),
+    "ev_asof_join_native_tol" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // the native operator's tolerance path (merge-side µs cutoff,
+      // AsofJoinExec) against the same DuckDB epoch_us oracle as
+      // ev_asof_join_tol — including its 0.45-s-past-cutoff trap row
+      val ev = t(dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val views = ev.filter(col("event_type") === "view")
+      graft.plans.AsofJoinNative.backward(purchases, views, "user_id", "ts", "ts",
+          Seq("event_id"), toleranceSec = Some(203))
+        .select(col("event_id"), col("asof_event_id").as("view_event_id"))
+    }),
+    "ev_asof_join_fwd" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // forward (next-event) direction: for each purchase, the EARLIEST view
+      // at-or-after it — ts sorts DESCENDING into the same streaming merge
+      // (plans/AsofJoinPlan.scala); oracled against DuckDB's native forward
+      // ASOF (ON p.ts <= v.ts). The corpus has no (user_id, ts) ties among
+      // views at any sf, so the pick is deterministic.
+      val ev = t(dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val views = ev.filter(col("event_type") === "view")
+      graft.plans.AsofJoinNative.forward(purchases, views, "user_id", "ts", "ts", Seq("event_id"))
+        .select(col("event_id"), col("asof_event_id").as("view_event_id"))
+    }),
     "ev_value_1h_running" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // RANGE-frame window: per user, the running 1-hour sum of event value
@@ -1722,6 +1747,18 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
          FROM (SELECT * FROM events WHERE event_type='purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "ev_asof_join_native_tol" ->
+      """SELECT p.event_id,
+           CASE WHEN v.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(v.ts) <= 203000000
+                THEN v.event_id END AS view_event_id
+         FROM (SELECT * FROM events WHERE event_type='purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "ev_asof_join_fwd" ->
+      """SELECT p.event_id, v.event_id AS view_event_id
+         FROM (SELECT * FROM events WHERE event_type='purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+           ON p.user_id = v.user_id AND p.ts <= v.ts""",
     "ev_value_1h_running" ->
       """SELECT event_id,
               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (

@@ -27,8 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
       (exprs: Seq[Expression]) => MisraGriesAgg.buildFromExprs(exprs)))
-    // whole-operator rung: the native as-of join's planner strategy
+    // whole-operator rung: the native as-of join's planner strategy, plus
+    // the optimizer-rule rung — left-only filters pushed below the node
+    // (riding the fixed-point operator-optimization batch, so pushed
+    // predicates keep sinking into the scan)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinLeftFilterPushdown)
   }
 }
 

@@ -4,8 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -44,7 +45,25 @@ object AsofJoinNative {
   /** Drop-in for `AsofJoin.backward` on the native operator. */
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightPayload: Seq[String],
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None): DataFrame =
+    build(left, right, key, leftTs, rightTs, rightPayload, toleranceSec, fwd = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with the same
+    * key at-or-after `leftTs` (DuckDB `ASOF LEFT JOIN ... ON l.ts <= r.ts`);
+    * optional tolerance bounds `rightTs - leftTs`. Null timestamps on either
+    * side never match (a "next event" for an unknown time is meaningless);
+    * among right rows sharing the earliest timestamp the greatest payload
+    * tuple wins — the same tie rule as backward. Same plan shape: per-side
+    * exchange + sort (ts DESCENDING here, so the streaming merge consumes
+    * candidates down toward each left timestamp). */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      toleranceSec: Option[Long] = None): DataFrame =
+    build(left, right, key, leftTs, rightTs, rightPayload, toleranceSec, fwd = true)
+
+  private def build(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      toleranceSec: Option[Long], fwd: Boolean): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
 
@@ -53,8 +72,9 @@ object AsofJoinNative {
     require(outClash.isEmpty,
       s"left input collides with generated output column(s): ${outClash.mkString(",")}")
 
-    // manual column pruning: the custom node is opaque to ColumnPruning, so
-    // narrow the right side to key + payload before it enters the node
+    // narrow the right side to key + payload before analysis (Catalyst's
+    // generic ColumnPruning also prunes through the node later — this keeps
+    // the node's attrs minimal from the start)
     val rightPruned = right.select((key +: payloadCols).distinct.map(col): _*)
     val lPlan = left.queryExecution.analyzed
     // re-alias the right side so a self-join (both sides from one relation)
@@ -85,16 +105,55 @@ object AsofJoinNative {
 
     org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark,
       AsofJoinNode(lPlan, rPlan, lk, rk, lt, rt, payload, payloadOut,
-        toleranceSec.map(_ * 1000000L)))
+        toleranceSec.map(_ * 1000000L), fwd))
   }
 
   /** Idempotent per-session registration (the extensions path in
-    * `GraftExtensions` covers deployments; this covers ad-hoc sessions). */
-  def ensureStrategy(spark: SparkSession): Unit =
+    * `GraftExtensions` covers deployments; this covers ad-hoc sessions).
+    * The pushdown rule lands in `extraOptimizations` here (runs after the
+    * main batches: filter reaches below the node, not into the scan); the
+    * extensions path injects it into the fixed-point operator-optimization
+    * batch where it composes with PushDownPredicates all the way down. */
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies =
         AsofJoinStrategy +: spark.experimental.extraStrategies
     }
+    if (!spark.experimental.extraOptimizations.contains(AsofJoinLeftFilterPushdown)) {
+      spark.experimental.extraOptimizations =
+        AsofJoinLeftFilterPushdown +: spark.experimental.extraOptimizations
+    }
+  }
+}
+
+/** Pushes the left-only deterministic conjuncts of a Filter sitting on an
+  * [[AsofJoinNode]] below the node. Safe because the as-of join is a left
+  * map: every output row derives from exactly one left row (the right side
+  * only contributes the `asof_*` payload), so dropping left rows before the
+  * join drops exactly the corresponding output rows — and the surviving
+  * rows' matches are computed from the UNFILTERED right side either way.
+  * At scale this is the difference between filtering before and after the
+  * left side's exchange+sort. Catalyst's generic ColumnPruning already
+  * prunes columns through the node (it only needs `references`/`output`);
+  * predicate pushdown has no such generic case — hence this rule, the
+  * `Rule[LogicalPlan]` rung of the custom-Catalyst ladder. */
+object AsofJoinLeftFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsofJoinNode) =>
+      // same split discipline as PushPredicateThroughJoin: deterministic
+      // conjuncts are candidates, nondeterministic ones must stay above
+      // (and keep their evaluation order)
+      val (deterministic, nonDeterministic) =
+        splitConjunctivePredicates(cond).partition(_.deterministic)
+      val (push, stay) =
+        deterministic.partition(_.references.subsetOf(a.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        (stay ++ nonDeterministic).reduceOption(And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 /** Logical as-of join. `payloadOut` attrs are minted once at construction
@@ -104,7 +163,7 @@ case class AsofJoinNode(
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], payloadOut: Seq[Attribute],
-    toleranceMicros: Option[Long]) extends BinaryNode {
+    toleranceMicros: Option[Long], forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
   override protected def withNewChildrenInternal(
@@ -116,7 +175,7 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsofJoinNode =>
       AsofJoinExec(n.leftKey, n.rightKey, n.leftTs, n.rightTs,
-        n.payload, n.payloadOut, n.toleranceMicros,
+        n.payload, n.payloadOut, n.toleranceMicros, n.forward,
         planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
@@ -130,7 +189,7 @@ case class AsofJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], payloadOut: Seq[Attribute],
-    toleranceMicros: Option[Long],
+    toleranceMicros: Option[Long], forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
@@ -143,10 +202,14 @@ case class AsofJoinExec(
 
   // the payload columns in the right ordering pin the tie rule: among right
   // rows at one (key, ts) the LAST in this order — the greatest payload
-  // tuple — is the one the merge retains
+  // tuple — is the one the merge retains. Forward mode walks time DOWNWARD:
+  // ts sorts Descending (nulls last), so the merge consumes right rows from
+  // the far future toward each left timestamp and the retained candidate is
+  // the EARLIEST at-or-after match.
+  private def tsDir = if (forward) Descending else Ascending
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    SortOrder(rightKey, Ascending) +: SortOrder(rightTs, Ascending) +:
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir)),
+    SortOrder(rightKey, Ascending) +: SortOrder(rightTs, tsDir) +:
       payload.filterNot(_.semanticEquals(rightTs)).map(a => SortOrder(a, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -155,6 +218,7 @@ case class AsofJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val numOut = longMetric("numOutputRows")
     val tol = toleranceMicros
+    val fwd = forward
     val lOut = left.output
     val rOut = right.output
     val localOutput = output
@@ -186,6 +250,15 @@ case class AsofJoinExec(
           else if (b == null) 1
           else ord.compare(a, b)
 
+        // backward: right row qualifies at rt <= lt (null group matches the
+        // null group, mirroring the composed operator's nulls-first window).
+        // forward: right row qualifies at rt >= lt, nulls NEVER match — in
+        // the Descending (nulls-last) right order the null-ts tail of a key
+        // is simply left unconsumed until the next key advances past it.
+        @inline private def tsQualifies(rt: Any, lt: Any): Boolean =
+          if (fwd) rt != null && lt != null && cmp(tsOrd, rt, lt) >= 0
+          else cmp(tsOrd, rt, lt) <= 0
+
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
@@ -196,7 +269,7 @@ case class AsofJoinExec(
           while (scanning) {
             val rk = rKeyB.eval(rHead)
             val kc = cmp(keyOrd, rk, lk)
-            if (kc < 0 || (kc == 0 && cmp(tsOrd, rTsB.eval(rHead), lt) <= 0)) {
+            if (kc < 0 || (kc == 0 && tsQualifies(rTsB.eval(rHead), lt))) {
               if (kc == 0) {
                 // values/rows from the iterator are reused buffers — copy
                 hasMatch = true
@@ -208,10 +281,13 @@ case class AsofJoinExec(
               scanning = rHead != null
             } else scanning = false
           }
-          val keyValid = hasMatch && cmp(keyOrd, matchKey, lk) == 0
+          val keyValid = hasMatch && cmp(keyOrd, matchKey, lk) == 0 &&
+            (!fwd || (lt != null && matchTs != null))
           val valid = keyValid && (tol match {
-            case Some(t) => lt != null && matchTs != null &&
-              lt.asInstanceOf[Long] - matchTs.asInstanceOf[Long] <= t
+            case Some(t) =>
+              if (fwd) matchTs.asInstanceOf[Long] - lt.asInstanceOf[Long] <= t
+              else lt != null && matchTs != null &&
+                lt.asInstanceOf[Long] - matchTs.asInstanceOf[Long] <= t
             case None => true
           })
           numOut += 1

@@ -66,6 +66,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // the native as-of join strategy rides the same extensions class
       assert(spark.sessionState.planner.strategies.contains(graft.plans.AsofJoinStrategy),
         "injectPlannerStrategy must register AsofJoinStrategy")
+
+      // ...and so does the left-filter pushdown rule: because it sits in the
+      // fixed-point operator-optimization batch here (unlike the ad-hoc
+      // extraOptimizations fallback), a left-only filter above the node
+      // merges all the way into the parquet scan's PushedFilters
+      val tmp = java.nio.file.Files.createTempDirectory("asof_push")
+      Seq.tabulate(50)(i => (i.toLong % 5,
+          new java.sql.Timestamp(1704067200000L + i * 1000L), i.toLong, s"v$i"))
+        .toDF("k", "t", "x", "v").write.parquet(s"$tmp/l")
+      Seq.tabulate(50)(i => (i.toLong % 5,
+          new java.sql.Timestamp(1704067200000L + i * 700L), i.toLong, s"w$i"))
+        .toDF("k", "t", "x", "v").write.parquet(s"$tmp/r")
+      val out = graft.plans.AsofJoinNative.backward(
+        spark.read.parquet(s"$tmp/l"), spark.read.parquet(s"$tmp/r"),
+        "k", "t", "t", Seq("v")).filter($"x" > 30)
+      out.collect()
+      val planStr = out.queryExecution.executedPlan.toString
+      assert(planStr.contains("GreaterThan(x,30)"),
+        s"left filter must reach PushedFilters at the scan:\n$planStr")
     } finally spark.stop()
   }
 }
