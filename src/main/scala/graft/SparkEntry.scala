@@ -268,6 +268,26 @@ object SparkEntry {
         .filter(col("pred_id") === KgPipeline.PredMentions)
         .groupBy("ent_id").agg(count(lit(1)).as("n_mentions"))
     }),
+    "kg_clustered_rect" -> ((s, dir) => {
+      // rectangle query over the Z-ORDER CLUSTERED stored table — the
+      // access pattern the layout exists for: a range predicate on BOTH
+      // dimensions (a page shard x an entity band) pushes into the scan and
+      // skips most row groups on footer min/max stats, because the Morton
+      // sort gives every row group a small rectangle in (page, entity)
+      // space (measured in ClusteredLayoutSpec: >= 2x fewer row groups
+      // scanned on either dimension alone). Results are layout-invariant;
+      // the oracle re-aggregates the same rectangle from the encoded dump.
+      val n = PagesSynth.pageCount(dir)
+      val tmp = java.nio.file.Files.createTempDirectory("clus_contract").toString + "/g"
+      pipeline.EncodedGraphTable.writeClustered(KgPipeline.encodedTriples(s, n),
+        PagesSynth.pageDict(s, n), PagesSynth.entityDict(s), n, tmp)
+      val maxPage = n - 1
+      pipeline.EncodedGraphTable.readEncoded(s, tmp)
+        .filter(col("pred_id") === KgPipeline.PredMentions &&
+          col("page_id").between(maxPage / 4, maxPage / 2) &&
+          col("ent_id").between(100, 300))
+        .groupBy("ent_id").agg(count(lit(1)).as("n_mentions"))
+    }),
     "kg_kcore" -> ((s, dir) => {
       // 3-core of the co-mention graph (iterative peel until every node
       // keeps >= 3 in-core neighbors): the KG-denoising staple — fringe
@@ -1402,6 +1422,14 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
       """SELECT ent_id, COUNT(*) AS n_mentions
          FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
          WHERE pred_id = 4 GROUP BY 1""",
+    "kg_clustered_rect" ->
+      """WITH t AS (SELECT * FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')),
+              b AS (SELECT MAX(page_id) // 4 AS lo, MAX(page_id) // 2 AS hi FROM t)
+         SELECT ent_id, COUNT(*) AS n_mentions
+         FROM t, b
+         WHERE pred_id = 4 AND page_id BETWEEN b.lo AND b.hi
+           AND ent_id BETWEEN 100 AND 300
+         GROUP BY 1""",
     "kg_stored_neighbors" ->
       """WITH e AS (SELECT DISTINCT url AS page, entity_iri AS ent
                     FROM read_parquet('{OUT}/aux_links/*.parquet')),

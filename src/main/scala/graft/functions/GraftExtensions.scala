@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val (a, b) = CosineExpr.exactlyTwo("graft_cosine", exprs); CosineExpr(a, b)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZorderExpr].getName, "graft_zorder"),
+      (exprs: Seq[Expression]) => {
+        val (a, b) = CosineExpr.exactlyTwo("graft_zorder", exprs); ZorderExpr(a, b)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
       (exprs: Seq[Expression]) => MisraGriesAgg.buildFromExprs(exprs)))

@@ -44,10 +44,44 @@ object EncodedGraphTable {
     * pred/lang vocabularies coalesce to single tiny files. */
   def write(enc: Dataset[EncTriple], pageDict: DataFrame, entityDict: DataFrame,
             n: Long, target: String, parts: Int = 32): Unit = {
-    val spark = enc.sparkSession
-    import spark.implicits._
     enc.repartition(parts, col("page_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$target/triples")
+    writeSidecars(enc.sparkSession, pageDict, entityDict, n, target, parts)
+  }
+
+  /** Z-order clustered variant of the fact-table write: rows are
+    * range-partitioned AND sorted within files by the Morton interleave of
+    * (page_id, ent_id) ([[graft.functions.ZorderExpr]]), so every parquet
+    * row group covers a small min/max RECTANGLE in (page, entity) space and
+    * a filter on EITHER dimension skips most row groups on footer stats —
+    * one layout serving both the by-subject and the by-object access path,
+    * where the plain `write` layout (hash on page_id) serves only the
+    * first. The z column is a write-time ordering key only; the stored
+    * schema is identical to `write`'s, so every reader works unchanged.
+    * Dictionary sidecars and `_meta` ride along exactly as in `write`.
+    * Row-group pruning is measured, not assumed — `ClusteredLayoutSpec`
+    * counts overlapping row groups from the parquet footers of both
+    * layouts. */
+  def writeClustered(enc: Dataset[EncTriple], pageDict: DataFrame, entityDict: DataFrame,
+            n: Long, target: String, parts: Int = 32): Unit = {
+    val spark = enc.sparkSession
+    graft.functions.ZorderExpr.register(spark)
+    // page_id stays a long into the interleave: ZorderExpr narrows it with a
+    // LOUD 32-bit check (a silent cast would fold far-apart pages together
+    // and quietly destroy the locality this layout exists for)
+    val z = graft.functions.ZorderExpr.graft_zorder(col("page_id"), col("ent_id"))
+    enc.toDF().withColumn("_z", z)
+      .repartitionByRange(parts, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(s"$target/triples")
+    writeSidecars(spark, pageDict, entityDict, n, target, parts)
+  }
+
+  /** Dictionary sidecars + `_meta`, shared by both fact-table layouts. */
+  private def writeSidecars(spark: SparkSession, pageDict: DataFrame,
+      entityDict: DataFrame, n: Long, target: String, parts: Int): Unit = {
+    import spark.implicits._
     pageDict.select(col("page_id").cast("long"), col("url"))
       .repartition(math.max(1, parts / 4), col("page_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$target/dict_pages")

@@ -50,6 +50,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
       assert(ec.getMessage.contains("graft_cosine"))
 
+      // graft_zorder rides the injection (the clustered layout's write key)
+      assert(spark.sql("SELECT graft_zorder(3L, 5) AS z").head.getLong(0) ==
+        ZorderExpr.interleave(3, 5))
+
       // graft_heavy_hitters rides the injection too (aggregate, grouped)
       Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("g", "item")
         .createOrReplaceTempView("hh_ext_t")
