@@ -303,6 +303,21 @@ object SparkEntry {
           Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap), k = 3)
         .withColumnRenamed("node", "entity_iri")
     }),
+    "kg_label_prop" -> ((s, dir) => {
+      // community detection over the co-mention graph: fixed-horizon
+      // SYNCHRONOUS label propagation with min-label tie-break — the
+      // entity-clustering step of KG canonicalization. Synchronous update +
+      // total-order tie-break make round `iters` a pure function of the
+      // edge set, so the oracle re-derives all 4 rounds in unrolled
+      // MATERIALIZED CTEs. Same capped edge derivation as kg_pagerank.
+      val links = KgPipeline.links(
+        KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
+        PagesSynth.aliasMap).toDF().select("url", "entity_iri").distinct()
+        .localCheckpoint()
+      graft.operators.LabelProp.communities(
+          Triangles.groupedPairs(links, "url", "entity_iri", CoMentionHubCap), iters = 4)
+        .withColumnRenamed("node", "entity_iri")
+    }),
     "kg_shortest_paths" -> ((s, dir) => {
       // multi-source BFS hop distances to a FIXED 6-hop horizon over the
       // co-mention graph (the general form of kg_two_hop): per seed, how
@@ -677,6 +692,14 @@ object SparkEntry {
     "doc_dedup_keep" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.exactKeep(t(dir, "documents"))
+    }),
+    "doc_dup_spans" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // span-level exact dedup (Lee et al.): maximal token runs duplicated
+      // ANYWHERE in the corpus — the unit a training pipeline cuts, where
+      // doc-level dedup can only drop whole documents. Integer-exact;
+      // see Dedup.dupSpans for the gram/semi-join/islands shape.
+      Dedup.dupSpans(t(dir, "documents"), k = 5)
     }),
     "q_approx_distinct" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1318,6 +1341,32 @@ FROM (SELECT src, dst FROM e$rounds UNION ALL SELECT dst, src FROM e$rounds)
 GROUP BY 1"""
   }
 
+  /** kg_label_prop oracle: synchronous LPA is a pure function of the edge
+    * set and the horizon (min-label tie-break), so each round unrolls to a
+    * neighbor-label count + a windowed argmax. MATERIALIZED per round (see
+    * kcoreOracleSql — inlining re-evaluates predecessors exponentially). */
+  private def labelPropOracleSql(iters: Int): String = {
+    val head =
+      """WITH l0 AS MATERIALIZED (SELECT DISTINCT url, entity_iri
+                     FROM read_parquet('{OUT}/aux_links/*.parquet')),
+              l AS (SELECT url, entity_iri FROM (
+                      SELECT url, entity_iri,
+                             ROW_NUMBER() OVER (PARTITION BY url ORDER BY entity_iri) AS rn
+                      FROM l0) WHERE rn <= 64),
+              e AS MATERIALIZED (SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
+                     FROM l a JOIN l b ON a.url = b.url AND a.entity_iri < b.entity_iri),
+              sym AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+              r0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)"""
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT sym.dst AS node, p.label AS label, COUNT(*) AS cnt
+               FROM sym JOIN r${k - 1} p ON p.node = sym.src GROUP BY 1, 2),
+          r$k AS MATERIALIZED (SELECT node, MIN(label) AS label FROM (
+               SELECT node, label, cnt, MAX(cnt) OVER (PARTITION BY node) AS mx
+               FROM c$k) WHERE cnt = mx GROUP BY node)"""
+    }.mkString(",\n")
+    s"$head,\n$rounds\nSELECT node AS entity_iri, label AS community FROM r$iters"
+  }
+
   /** kg_shortest_paths oracle: the same fixed `rounds` BFS expansions,
     * unrolled. MATERIALIZED per round (see kcoreOracleSql — inlining would
     * re-evaluate predecessors exponentially); the anti join against the
@@ -1366,6 +1415,7 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
   private lazy val baseOracleSql: Map[String, String] = Map(
     "kg_pagerank" -> pagerankOracleSql(5),
     "kg_kcore" -> kcoreOracleSql(3, 12),
+    "kg_label_prop" -> labelPropOracleSql(4),
     "kg_shortest_paths" -> bfsOracleSql(6, 3),
     "kg_entity_assoc" ->
       """WITH l0 AS (SELECT DISTINCT url, entity_iri
@@ -1892,6 +1942,20 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
       """SELECT doc_id, md5(text) AS text_md5,
            doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
          FROM documents""",
+    "doc_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                    WHERE len(string_split(text, ' ')) >= 5),
+              p AS (SELECT doc_id, unnest(range(1, len(ws) - 3)) AS pos, ws FROM t),
+              g AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+4], ' ') AS gram FROM p),
+              d AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+              m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+              i AS (SELECT doc_id, pos,
+                           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                    FROM m)
+         SELECT doc_id, MIN(pos) AS span_start,
+                MAX(pos) - MIN(pos) + 5 AS span_tokens,
+                COUNT(*) AS n_grams
+         FROM i GROUP BY doc_id, island""",
     "q_approx_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_within_10pct
          FROM lineitem""",

@@ -313,6 +313,52 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("component"))
   }
 
+  /** Exact duplicated-substring spans (the span-level dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): find every
+    * maximal run of tokens that appears at two or more positions anywhere in
+    * the corpus (another document or elsewhere in the same one), as
+    * (doc_id, span_start, span_tokens, n_grams) rows — the unit a training
+    * pipeline CUTS, where doc-level near-dup only drops whole documents.
+    *
+    * Shape: one narrow pass explodes each document into its k-token grams
+    * (position `pos` is 1-based, gram `pos` covers tokens pos..pos+k-1); a
+    * count aggregation keyed on the gram finds grams with ≥ 2 occurrences; a
+    * left-semi join back (same key — Catalyst reuses the exchange) marks the
+    * duplicated positions; and a doc-local gaps-and-islands window merges
+    * consecutive marked positions into maximal spans (`pos − row_number` is
+    * constant within a run). Every column is an integer or the gram itself,
+    * so the result is engine-exact.
+    *
+    * Scale: two shuffles keyed on the gram plus one keyed on doc_id; bucket
+    * sizes are bounded (a gram occurs at most once per position) and the
+    * window frame is doc-local. At 100 TB the gram-string key swaps for a
+    * 128-bit rolling hash (grams are the dominant shuffle payload; the hash
+    * is 16 bytes against a ~6-token string) with a residual-collision verify
+    * pass — the string key here keeps the operator bit-comparable to the
+    * SQL oracle. */
+  def dupSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(1, size(ws) - ${k - 1}), i -> concat_ws(' ', slice(ws, i, $k)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val marked = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min("pos").as("span_start"),
+        (max("pos") - min("pos") + k).as("span_tokens"),
+        count(lit(1)).as("n_grams"))
+      .drop("island")
+  }
+
   /** Brute-force pairwise n-gram Jaccard (test oracle / tiny inputs only). */
   def bruteJaccardPairs(docs: DataFrame, threshold: Double): Vector[(Long, Long, Double)] = {
     val rows = docs.select(col("doc_id").cast("long"), col("text")).collect()

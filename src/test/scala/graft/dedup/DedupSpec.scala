@@ -230,4 +230,46 @@ class DedupSpec extends SparkTestBase {
     }
     assert(keep.length == docs.count())
   }
+
+  test("dupSpans finds exactly the hand-derived maximal duplicated token runs") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq(
+      // docs 0 and 1 share the 6-token run "c d e f g h" (positions 3-8 /
+      // 3-8): 5-grams at pos 3 and 4 of each are duplicated, nothing else
+      (0L, "a b c d e f g h i j"),
+      (1L, "x x c d e f g h y z"),
+      // doc 2 repeats "p q r s t u" WITHIN itself (pos 1 and 7): two
+      // separate islands, each of 2 marked positions, 6 tokens long
+      (2L, "p q r s t u p q r s t u v"),
+      // all-unique tokens: no duplicated gram, no row
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"),
+      // shorter than the gram width: filtered before gramming, no row
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, k = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_tokens"), r.getAs[Long]("n_grams"))).toSet
+    assert(spans == Set(
+      (0L, 3, 6, 2L),
+      (1L, 3, 6, 2L),
+      (2L, 1, 6, 2L),
+      (2L, 7, 6, 2L)))
+    // maximality: a span is never adjacent to another marked position
+    // (islands merged) — implied by the exact set above, but make the
+    // within-doc case explicit: doc 2's two islands did NOT merge across
+    // the unique middle grams
+    assert(spans.count(_._1 == 2L) == 2)
+  }
+
+  test("dupSpans is partition-invariant and k is validated") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x x c d e f g h y z")).toDF("doc_id", "text")
+    val a = Dedup.dupSpans(docs.repartition(7), k = 5).collect().toSet
+    val b = Dedup.dupSpans(docs.coalesce(1), k = 5).collect().toSet
+    assert(a.map(_.toString) == b.map(_.toString))
+    val ex = intercept[IllegalArgumentException](Dedup.dupSpans(docs, k = 1))
+    assert(ex.getMessage.contains("gram width"))
+  }
 }
