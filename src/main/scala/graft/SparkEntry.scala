@@ -701,6 +701,14 @@ object SparkEntry {
       // see Dedup.dupSpans for the gram/semi-join/islands shape.
       Dedup.dupSpans(t(dir, "documents"), k = 5)
     }),
+    "doc_dup_cut" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // the APPLY side of span dedup: rewrite every document with its
+      // non-canonical duplicated runs removed (first corpus occurrence
+      // keeps its text — deterministic canonical = min (doc_id, pos)).
+      // String-exact vs the oracle; see Dedup.cutSpans.
+      Dedup.cutSpans(t(dir, "documents"), k = 5)
+    }),
     "q_approx_distinct" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // approx_count_distinct (HLL++) beside the exact count; the oracle
@@ -1956,6 +1964,28 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                 MAX(pos) - MIN(pos) + 5 AS span_tokens,
                 COUNT(*) AS n_grams
          FROM i GROUP BY doc_id, island""",
+    "doc_dup_cut" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              g0 AS (SELECT doc_id, unnest(range(1, len(ws) - 3)) AS pos, ws FROM t
+                     WHERE len(ws) >= 5),
+              g2 AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+4], ' ') AS gram FROM g0),
+              c AS (SELECT gram, doc_id AS c_doc, pos AS c_pos FROM (
+                      SELECT gram, doc_id, pos,
+                             COUNT(*) OVER (PARTITION BY gram) AS n,
+                             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+                      FROM g2) WHERE n > 1 AND rn = 1),
+              cov AS (SELECT g2.doc_id, unnest(range(g2.pos, g2.pos + 5)) AS i,
+                             (g2.doc_id = c.c_doc AND g2.pos = c.c_pos) AS is_canon
+                      FROM g2 JOIN c USING (gram)),
+              tokcov AS (SELECT doc_id, i, MAX(is_canon) AS any_canon FROM cov GROUP BY 1, 2),
+              tok AS (SELECT doc_id, unnest(ws) AS tok, unnest(range(1, len(ws) + 1)) AS i FROM t),
+              kt AS (SELECT tok.doc_id, tok.i, tok.tok,
+                            COALESCE(tc.any_canon, TRUE) AS keep
+                     FROM tok LEFT JOIN tokcov tc ON tok.doc_id = tc.doc_id AND tok.i = tc.i)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_cut,
+                COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE keep), '') AS text_cut
+         FROM kt GROUP BY doc_id""",
     "q_approx_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_within_10pct
          FROM lineitem""",

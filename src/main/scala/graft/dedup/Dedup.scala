@@ -331,22 +331,31 @@ object Dedup {
     *
     * Scale: two shuffles keyed on the gram plus one keyed on doc_id; bucket
     * sizes are bounded (a gram occurs at most once per position) and the
-    * window frame is doc-local. At 100 TB the gram-string key swaps for a
-    * 128-bit rolling hash (grams are the dominant shuffle payload; the hash
-    * is 16 bytes against a ~6-token string) with a residual-collision verify
-    * pass — the string key here keeps the operator bit-comparable to the
-    * SQL oracle. */
-  def dupSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    * window frame is doc-local. At 100 TB set `hashKeys = true`: the
+    * count/mark stages then key on a PAIR of independent codegen'd 64-bit
+    * hashes of the gram (2⁻¹²⁸ collision space — safe past any corpus
+    * size) and the gram string never enters a shuffle at all (16 bytes
+    * against a ~40-byte string, the dominant payload of this operator).
+    * The string key stays the default because it is what the SQL oracle
+    * compares bit-for-bit; `DedupSpec` locks the two modes row-identical. */
+  def dupSpans(docs: DataFrame, k: Int = 5, hashKeys: Boolean = false): DataFrame = {
     require(k >= 2, s"span gram width must be >= 2, got $k")
-    val grams = docs
+    val keys: Seq[String] = if (hashKeys) Seq("h1", "h2") else Seq("gram")
+    val grams0 = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"), posexplode(
         expr(s"transform(sequence(1, size(ws) - ${k - 1}), i -> concat_ws(' ', slice(ws, i, $k)))")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-    val dupGrams = grams.groupBy("gram")
+    val grams =
+      if (hashKeys) grams0
+        .withColumn("h1", xxhash64(col("gram")))
+        .withColumn("h2", xxhash64(col("gram"), lit(0x9e3779b9L)))
+        .drop("gram")
+      else grams0
+    val dupGrams = grams.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-    val marked = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val marked = grams.join(dupGrams, keys, "left_semi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     marked
@@ -357,6 +366,56 @@ object Dedup {
         (max("pos") - min("pos") + k).as("span_tokens"),
         count(lit(1)).as("n_grams"))
       .drop("island")
+  }
+
+  /** Apply the span-level cut that [[dupSpans]] locates: rewrite each
+    * document with every token removed that is covered ONLY by
+    * non-canonical duplicated k-gram occurrences (the canonical occurrence
+    * of a gram is the corpus-wide minimum (doc_id, pos); the first copy
+    * keeps its text, every later copy is cut — deterministic, so two runs
+    * of the pipeline cut identically). Unique text and the first
+    * occurrence of every duplicated run survive verbatim.
+    *
+    * Output per document: (doc_id, n_tokens, n_cut, text_cut). Reassembly
+    * joins kept tokens with a single space — exact on the corpus contract
+    * (single-space tokenization), and engine-exact (string equality) vs
+    * the SQL oracle.
+    *
+    * Shape: the gram/count/mark stages are [[dupSpans]]'s; the cut adds a
+    * k-wide coverage explode of the DUPLICATED positions only (linear in
+    * the dup fraction), a (doc, token) OR-aggregation, and a doc-keyed
+    * rewrite — every join/agg keyed on (doc_id, i) or doc_id, and the
+    * per-doc sort is bounded by document length. */
+  def cutSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("tok"))
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(1, size(ws) - ${k - 1}), i -> concat_ws(' ', slice(ws, i, $k)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    // canonical occurrence per duplicated gram = min (doc_id, pos): struct
+    // ordering is lexicographic, so min(struct(..)) is the deterministic pick
+    val canon = grams.groupBy("gram")
+      .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("pos"))).as("c"))
+      .filter(col("n") > 1)
+      .select(col("gram"), col("c.doc_id").as("c_doc"), col("c.pos").as("c_pos"))
+    val cover = grams.join(canon, "gram")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("i"),
+        (col("doc_id") === col("c_doc") && col("pos") === col("c_pos")).as("is_canon"))
+      .groupBy("doc_id", "i").agg(max(col("is_canon")).as("any_canon"))
+    toks.join(cover, Seq("doc_id", "i"), "left_outer")
+      .withColumn("keep", coalesce(col("any_canon"), lit(true)))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_cut"),
+        array_join(
+          expr("transform(filter(array_sort(collect_list(struct(i, keep, tok))), x -> x.keep), x -> x.tok)"),
+          " ").as("text_cut"))
   }
 
   /** Brute-force pairwise n-gram Jaccard (test oracle / tiny inputs only). */

@@ -261,6 +261,42 @@ class DedupSpec extends SparkTestBase {
     assert(spans.count(_._1 == 2L) == 2)
   }
 
+  test("dupSpans hash-key mode (the 100 TB shuffle shape) is row-identical to string keys") {
+    val docs = corpus() // planted exact + near dups -> plenty of shared runs
+    val str = Dedup.dupSpans(docs, k = 5).collect().map(_.toString).toSet
+    val hsh = Dedup.dupSpans(docs, k = 5, hashKeys = true).collect().map(_.toString).toSet
+    assert(str.nonEmpty)
+    assert(hsh == str)
+  }
+
+  test("cutSpans keeps the canonical occurrence verbatim and cuts every later copy") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),          // canonical holder of "c d e f g h"
+      (1L, "x x c d e f g h y z"),          // later copy -> the run is cut
+      (2L, "p q r s t u p q r s t u v"),    // within-doc: first occurrence kept
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"), // unique -> untouched
+      (4L, "short doc")                     // below gram width -> untouched
+    ).toDF("doc_id", "text")
+    val cut = Dedup.cutSpans(docs, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut"), r.getAs[String]("text_cut"))))
+      .toMap
+    assert(cut(0L) == ((10L, 0L, "a b c d e f g h i j")))
+    assert(cut(1L) == ((10L, 6L, "x x y z")))
+    assert(cut(2L) == ((13L, 6L, "p q r s t u v")))
+    assert(cut(3L) == ((10L, 0L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10")))
+    assert(cut(4L) == ((2L, 0L, "short doc")))
+    // corpus-level invariant: cutting is idempotent on this corpus — the
+    // surviving text contains no duplicated 5-gram with multiplicity that
+    // the canonical rule would cut again... except new adjacencies formed
+    // by the cut itself, which this corpus does not produce
+    val again = Dedup.cutSpans(
+      Dedup.cutSpans(docs, k = 5).select(col("doc_id"), col("text_cut").as("text")), k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_cut")).toMap
+    assert(again.values.forall(_ == 0L))
+  }
+
   test("dupSpans is partition-invariant and k is validated") {
     val sps = spark; import sps.implicits._
     val docs = Seq(
