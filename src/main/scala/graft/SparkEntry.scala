@@ -363,6 +363,25 @@ object SparkEntry {
         .join(pageCounts.select(col("entity_iri").as("e2"), col("n").as("n_e2")), "e2")
         .select("e1", "e2", "n_both", "n_e1", "n_e2")
     }),
+    "kg_neg_samples" -> ((s, dir) => {
+      // deterministic FILTERED negative sampling for KG-embedding training
+      // (the TransE-family corrupted-triple generator), ENTIRELY IN ID
+      // SPACE over the dictionary-encoded mention stream: canonical
+      // co-mention edges (same hub-capped derivation family as the other
+      // graph queries, here keyed on integer ids), then 3 tail-corruption
+      // candidates per positive from a mixed-congruential function of
+      // (src, dst, k) mod vocab — map-side only — with the filtered
+      // protocol's anti-join against the true edge set. Reproducible
+      // across engines, so the oracle re-derives every candidate and the
+      // filter in plain SQL from the encoded dump.
+      val n = PagesSynth.pageCount(dir)
+      val mentions = KgPipeline.encodedTriples(s, n).toDF()
+        .filter(col("pred_id") === KgPipeline.PredMentions)
+        .select(col("page_id"), col("ent_id"))
+      val edges = Triangles.canonical(
+        Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
+      graft.operators.NegativeSampling.tailCorrupt(edges, negsPerEdge = 3)
+    }),
     "kg_heavy_entities" -> ((s, dir) => {
       // heavy entities per language: entities owning > 1/32 of their
       // language's mention stream. Sketch-prune + exact-verify: a
@@ -1480,6 +1499,33 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
       """SELECT ent_id, COUNT(*) AS n_mentions
          FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
          WHERE pred_id = 4 GROUP BY 1""",
+    // kg_neg_samples: the sampler is a pure integer function of the edge
+    // set, so DuckDB re-derives the capped edges, every candidate, and the
+    // filtered-protocol anti-join from the encoded dump independently
+    "kg_neg_samples" ->
+      """WITH m AS (SELECT DISTINCT page_id, ent_id
+                    FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+                    WHERE pred_id = 4),
+              l AS (SELECT page_id, ent_id FROM (
+                      SELECT page_id, ent_id,
+                             ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY ent_id) AS rn
+                      FROM m) WHERE rn <= 64),
+              e AS MATERIALIZED (
+                    SELECT DISTINCT a.ent_id AS src, b.ent_id AS dst
+                    FROM l a JOIN l b ON a.page_id = b.page_id AND a.ent_id < b.ent_id),
+              v AS (SELECT GREATEST(MAX(src), MAX(dst)) + 1 AS n_vocab FROM e),
+              c AS (SELECT e.src, e.dst, k.k,
+                           (CAST(e.src AS BIGINT) * 40503
+                            + CAST(e.dst AS BIGINT) * 69069
+                            + k.k * 97561) % v.n_vocab AS neg
+                    FROM e, v, (SELECT UNNEST(range(1, 4)) AS k) k)
+         SELECT CAST(c.src AS INTEGER) AS src_id, CAST(c.dst AS INTEGER) AS dst_id,
+                CAST(c.k AS INTEGER) AS k, CAST(c.neg AS INTEGER) AS neg_id
+         FROM c
+         WHERE c.neg <> c.src AND c.neg <> c.dst
+           AND NOT EXISTS (SELECT 1 FROM e t
+                           WHERE t.src = LEAST(c.src, c.neg)
+                             AND t.dst = GREATEST(c.src, c.neg))""",
     "kg_clustered_rect" ->
       """WITH t AS (SELECT * FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')),
               b AS (SELECT MAX(page_id) // 4 AS lo, MAX(page_id) // 2 AS hi FROM t)
