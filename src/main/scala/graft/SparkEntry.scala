@@ -363,6 +363,33 @@ object SparkEntry {
         .join(pageCounts.select(col("entity_iri").as("e2"), col("n").as("n_e2")), "e2")
         .select("e1", "e2", "n_both", "n_e1", "n_e2")
     }),
+    "kg_url_canonical" -> ((s, dir) => {
+      // URL canonicalization before IRI minting (graft.functions.UrlCanon:
+      // scheme/host case, default ports, fragments, utm params, trailing
+      // slashes), proven by DETERMINISTIC round-trip: each page's clean URL
+      // is mapped through one of six planted messifications (keyed on the
+      // page ordinal, so the oracle replays it), canonicalized back, and
+      // compared — per mess-case totals make any rule regression visible as
+      // a dropped n_roundtrip. All built-ins, whole-stage-codegen'd,
+      // map-side until the 6-group aggregate.
+      val n = PagesSynth.pageCount(dir)
+      val urls = PagesSynth.pages(s, n).toDF().select("url")
+      val ord = regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long")
+      val c = pmod(ord, lit(6L))
+      val scheme = regexp_extract(col("url"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+      val host = regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+      val rest = regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+      val messy = when(c === 1, concat(upper(scheme), lit("://"), upper(host), rest))
+        .when(c === 2, concat(scheme, lit("://"), host, lit(":443"), rest))
+        .when(c === 3, concat(col("url"), lit("#sec-2")))
+        .when(c === 4, concat(col("url"), lit("?utm_source=feed&utm_medium=cpc")))
+        .when(c === 5, concat(col("url"), lit("/")))
+        .otherwise(col("url"))
+      urls.select(c.as("mess_case"),
+          (graft.functions.UrlCanon.canonical(messy) === col("url")).as("rt"))
+        .groupBy("mess_case").agg(count(lit(1)).as("n_pages"),
+          sum(when(col("rt"), 1L).otherwise(0L)).as("n_roundtrip"))
+    }),
     "kg_neg_samples" -> ((s, dir) => {
       // deterministic FILTERED negative sampling for KG-embedding training
       // (the TransE-family corrupted-triple generator), ENTIRELY IN ID
@@ -1024,6 +1051,37 @@ object SparkEntry {
         ((ascii(substring(md5(col("text")), 1, 1)) * 256 +
           ascii(substring(md5(col("text")), 2, 1))) % 100 < rateCol).as("sampled"))
     }),
+    "doc_mixture_sample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // temperature-weighted source mixing (the mT5/Pile alpha-sampling
+      // staple, alpha = 0.5): per-language quotas proportional to
+      // n_docs^alpha, flattening the head languages. Arithmetic is
+      // ENGINE-EXACT by construction: the only float op is one
+      // floor(sqrt(n)*1e6) per language (IEEE-identical everywhere);
+      // weights, the denominator, and the quota split are then pure
+      // integers — no cross-row float sums to diverge between engines.
+      // Selection inside each language is by content digest (md5), so the
+      // sample is deterministic at any parallelism. Scale shape: the
+      // constant rank cap (quota <= total budget) filters BEFORE the
+      // dynamic quota join, so the per-lang window plans as a map-side
+      // WindowGroupLimit — each task ships at most 200 rows per language,
+      // and the 5-partition lang shuffle carries tasks*200 rows, never the
+      // corpus.
+      val budget = 200L
+      val docs = t(dir, "documents").select("doc_id", "lang", "text")
+      val weights = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      val tot = weights.agg(sum("w").as("w_tot"))
+      val quotas = weights.crossJoin(broadcast(tot))
+        .select(col("lang"), expr(s"($budget * w) DIV w_tot").as("quota"))
+      docs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))))
+        .filter(col("rk") <= budget) // static cap -> map-side WindowGroupLimit
+        .join(quotas, "lang")
+        .filter(col("rk") <= col("quota"))
+        .select("doc_id", "lang", "quota")
+    }),
     "doc_source_quota" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // per-source quota capping (boilerplate-farm control): keep the 20
@@ -1499,6 +1557,42 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
       """SELECT ent_id, COUNT(*) AS n_mentions
          FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
          WHERE pred_id = 4 GROUP BY 1""",
+    // kg_url_canonical: messifier and canonicalizer both re-derived in
+    // DuckDB over the aux_extracted url dump — the oracle replays the
+    // planted mess (keyed on the page ordinal in the url) and the RFC 3986
+    // normalization rules independently
+    "kg_url_canonical" ->
+      """WITH p AS (SELECT url,
+                  CAST(regexp_extract(url, '/p/([0-9]+)$', 1) AS BIGINT) % 6 AS mess_case,
+                  regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+                  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+           FROM read_parquet('{OUT}/aux_extracted/*.parquet')),
+              m AS (SELECT url, mess_case,
+                  CASE mess_case
+                    WHEN 1 THEN upper(scheme) || '://' || upper(host) || rest
+                    WHEN 2 THEN scheme || '://' || host || ':443' || rest
+                    WHEN 3 THEN url || '#sec-2'
+                    WHEN 4 THEN url || '?utm_source=feed&utm_medium=cpc'
+                    WHEN 5 THEN url || '/'
+                    ELSE url END AS messy
+           FROM p),
+              x AS (SELECT url, mess_case,
+                  lower(regexp_extract(messy, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS cs,
+                  lower(regexp_extract(messy, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS ch0,
+                  regexp_extract(messy, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS cr0
+           FROM m),
+              y AS (SELECT url, mess_case,
+                  cs || '://' ||
+                  (CASE WHEN cs = 'https' THEN regexp_replace(ch0, ':443$', '')
+                        WHEN cs = 'http' THEN regexp_replace(ch0, ':80$', '')
+                        ELSE ch0 END) ||
+                  regexp_replace(regexp_replace(regexp_replace(
+                    cr0, '#.*$', ''), '\?utm_[^&#]*(&utm_[^&#]*)*$', ''), '/+$', '') AS canon
+           FROM x)
+         SELECT mess_case, COUNT(*) AS n_pages,
+                CAST(SUM(CASE WHEN canon = url THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
+         FROM y GROUP BY 1""",
     // kg_neg_samples: the sampler is a pure integer function of the edge
     // set, so DuckDB re-derives the capped edges, every candidate, and the
     // filtered-protocol anti-join from the encoded dump independently
@@ -1548,6 +1642,19 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
              (CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 35 WHEN 'fr' THEN 35
                         WHEN 'es' THEN 25 ELSE 10 END) AS sampled
          FROM documents""",
+    "doc_mixture_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+              w AS (SELECT lang,
+                           CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w
+                    FROM c),
+              q AS (SELECT lang,
+                           CAST((200 * w) // (SELECT SUM(w) FROM w) AS BIGINT) AS quota
+                    FROM w),
+              r AS (SELECT doc_id, lang,
+                           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+                    FROM documents)
+         SELECT r.doc_id, r.lang, q.quota
+         FROM r JOIN q USING (lang) WHERE r.rk <= q.quota""",
     "doc_source_quota" ->
       """SELECT doc_id, source, rn FROM (
            SELECT doc_id, source,
