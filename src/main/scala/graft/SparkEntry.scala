@@ -1004,6 +1004,14 @@ object SparkEntry {
       // no silent caps: per-run LSH bucket stats + exact dropped-pair count
       Dedup.capTelemetry(Dedup.minhashBands(t(dir, "documents")))
     }),
+    "doc_minhash_calibration" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // estimator-vs-truth calibration inside the LSH candidate region:
+      // integer-exact (matching signature slots, exact shingle inter/union)
+      // so the curve reproduces bit-for-bit; the oracle re-derives pairs,
+      // slot matches, and exact Jaccard from the aux dumps in DuckDB
+      Dedup.minhashCalibration(t(dir, "documents"))
+    }),
     "doc_simhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.simhashPairs(t(dir, "documents"), maxHamming = 10)
@@ -1311,6 +1319,17 @@ object SparkEntry {
         .mapPartitions(_.flatMap { case (id, txt) =>
           TextOps.shingleHashes(txt).iterator.map(h => (id, h)) })
         .toDF("doc_id", "shingle_hash")
+    }),
+    "aux_minhash_sigs" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // full per-slot OPH signatures (64 rows/doc) so the oracle can count
+      // matching slots per candidate pair entirely inside DuckDB
+      t(dir, "documents").select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, txt) =>
+          TextOps.minhashSignatureOph(TextOps.shingleHashes(txt)).iterator.zipWithIndex
+            .map { case (v, slot) => (id, slot, v) } })
+        .toDF("doc_id", "slot", "sig")
     }),
     "aux_simhashes" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1854,6 +1873,34 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
          WHERE (COALESCE(na.n, 0) = 0 AND COALESCE(nb.n, 0) = 0)
             OR COALESCE(i.ni, 0) * 10 >=
                (COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.ni, 0)) * 3""",
+    "doc_minhash_calibration" ->
+      """WITH b AS (SELECT doc_id, band, band_hash FROM read_parquet('{OUT}/aux_minhash_bands/*.parquet')),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+                  FROM b a JOIN b c ON a.band = c.band AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id),
+         sg AS (SELECT doc_id, slot, sig FROM read_parquet('{OUT}/aux_minhash_sigs/*.parquet')),
+         m AS (SELECT doc_a, doc_b, COUNT(*) AS matching_slots
+               FROM cand JOIN sg x ON x.doc_id = doc_a
+                         JOIN sg y ON y.doc_id = doc_b AND y.slot = x.slot AND y.sig = x.sig
+               GROUP BY doc_a, doc_b),
+         s AS (SELECT doc_id, shingle_hash FROM read_parquet('{OUT}/aux_shingles/*.parquet')),
+         n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+         i AS (SELECT doc_a, doc_b, COUNT(*) AS ni
+               FROM cand JOIN s sa ON sa.doc_id = doc_a
+                         JOIN s sb ON sb.doc_id = doc_b AND sb.shingle_hash = sa.shingle_hash
+               GROUP BY doc_a, doc_b),
+         p AS (SELECT c.doc_a, c.doc_b,
+                      CAST(COALESCE(m.matching_slots, 0) AS INTEGER) AS matching_slots,
+                      COALESCE(i.ni, 0) AS inter,
+                      COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.ni, 0) AS un
+               FROM cand c
+               LEFT JOIN m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+               LEFT JOIN i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+               LEFT JOIN n na ON na.doc_id = c.doc_a
+               LEFT JOIN n nb ON nb.doc_id = c.doc_b)
+         SELECT matching_slots, COUNT(*) AS n_pairs,
+                CAST(SUM(inter) AS BIGINT) AS sum_inter,
+                CAST(SUM(un) AS BIGINT) AS sum_union
+         FROM p GROUP BY matching_slots""",
     "doc_simhash_pairs" ->
       """WITH s AS (SELECT doc_id, simhash FROM read_parquet('{OUT}/aux_simhashes/*.parquet')),
          b AS (SELECT doc_id, simhash, t.band, (simhash >> (16 * t.band)) & 65535 AS key

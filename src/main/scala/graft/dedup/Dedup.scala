@@ -129,6 +129,52 @@ object Dedup {
       .toDF("doc_a", "doc_b", "jaccard")
   }
 
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * signature-estimated similarity (count of matching slots out of
+    * [[TextOps.MinhashPerms]]) against the EXACT shingle Jaccard, rolled up
+    * per match count. Integer-exact throughout — (matching_slots, n_pairs,
+    * sum_inter, sum_union) — so the calibration curve (est ≈ matching/64 vs
+    * exact ≈ sum_inter/sum_union) is reproducible bit-for-bit. This is the
+    * measurement a production dedup run records before trusting a banding
+    * threshold at corpus scale: it quantifies, on the live corpus, how far
+    * the OPH estimator sits from truth inside the candidate region (the only
+    * region LSH ever surfaces). The banding and the per-pair estimate share
+    * one signature DEFINITION (recomputed per use — deterministic, so
+    * cheaper at scale than persisting 64-slot arrays across stages). */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val texts = textsById(docs)
+    val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, TextOps.minhashSignatureOph(TextOps.shingleHashes(t)).toSeq)
+      }).toDF("doc_id", "sig")
+    val bands = sigs.as[(Long, Seq[Long])]
+      .mapPartitions(_.flatMap { case (id, sig) =>
+        TextOps.bandKeys(sig.toArray).map { case (b, h) => (id, b, h) }
+      }).toDF("doc_id", "band", "band_hash")
+    candidatePairs(bands)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .select(col("sig_a"), col("sig_b"), col("text_a"), col("text_b"))
+      .as[(Seq[Long], Seq[Long], String, String)]
+      .mapPartitions(_.map { case (sa, sb, ta, tb) =>
+        var m = 0
+        var i = 0
+        while (i < sa.length) { if (sa(i) == sb(i)) m += 1; i += 1 }
+        val ha = TextOps.shingleHashes(ta)
+        val hb = TextOps.shingleHashes(tb)
+        val inter = ha.count(hb.contains).toLong
+        (m, inter, ha.size + hb.size - inter)
+      }).toDF("matching_slots", "inter", "un")
+      .groupBy(col("matching_slots"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("inter")).as("sum_inter"),
+        sum(col("un")).as("sum_union"))
+  }
+
   /** SimHash per document. */
   def simhashes(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

@@ -53,6 +53,35 @@ class DedupSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("minhash calibration matches a local recomputation over candidate pairs") {
+    val df = corpus()
+    // local ground truth: candidate pairs -> (matching slots, exact inter/union)
+    val texts = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sigs = texts.map { case (id, t) =>
+      id -> TextOps.minhashSignatureOph(TextOps.shingleHashes(t))
+    }
+    val cands = Dedup.candidatePairs(Dedup.minhashBands(df)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = cands.map { case (a, b) =>
+      val m = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      val ha = TextOps.shingleHashes(texts(a))
+      val hb = TextOps.shingleHashes(texts(b))
+      val inter = ha.count(hb.contains).toLong
+      (m, inter, ha.size + hb.size - inter)
+    }.groupBy(_._1).map { case (m, rows) =>
+      (m, rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum)
+    }.toSet
+    val got = Dedup.minhashCalibration(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // planted exact dups: the 64-match bucket exists and is perfectly exact
+    val full = got.find(_._1 == 64)
+    assert(full.nonEmpty, "exact duplicates must land in the 64-slot bucket")
+    assert(full.get._3 == full.get._4, "64 matching slots => inter == union on planted dups")
+    // every candidate pair is accounted for exactly once
+    assert(got.toSeq.map(_._2).sum == cands.length.toLong)
+  }
+
   test("simhash pairs catch single-word edits at small hamming distance") {
     val pairs = Dedup.simhashPairs(corpus(), maxHamming = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
