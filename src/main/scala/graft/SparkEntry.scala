@@ -229,6 +229,34 @@ object SparkEntry {
         .filter(col("neighbor") =!= col("seed"))
         .groupBy("seed", "neighbor").agg(countDistinct(col("page")).as("n_pages"))
     }),
+    "kg_cdc_changes" -> ((s, dir) => {
+      import s.implicits._
+      // CDC over the snapshot sink, end-to-end: snapshot 1 is the corpus
+      // with every mention of entities whose IRI ends in '3' withheld (a
+      // partially-ingested crawl), snapshot 2 the full corpus; readChanges
+      // must surface EXACTLY the withheld mention triples as inserts with
+      // multiset-exact counts (an entity mentioned twice on a page carries
+      // _n = 2). The oracle re-derives the withheld set independently from
+      // the aux_links dump. This upgrades the sink's CDC path from
+      // spec-locked to oracled.
+      val n = PagesSynth.pageCount(dir)
+      val full = KgPipeline.triples(s, n)
+      val prev = full.filter(!(col("pred") === "web:mentions" &&
+        col("obj_iri").endsWith("3")))
+      val target = s"/tmp/graft_cdc_$n"
+      val loc = new java.io.File(target)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      val sink = new graft.pipeline.GraphSink.Snapshotted(parts = 8)
+      sink.write(prev, target)
+      sink.write(full, target)
+      val ids = sink.snapshots(s, target)
+      // mention triples are span-distinct (obj_lit carries the span), so a
+      // page re-mentioning an entity surfaces as two changed triples; roll
+      // the delta up per (page, entity) edge — counts stay multiset-exact
+      sink.readChanges(s, target, ids.head, ids.last)
+        .groupBy(col("subj"), col("pred"), col("obj_iri"), col("_change_type"))
+        .agg(sum(col("_n")).as("_n"))
+    }),
     "kg_validate_range" -> ((s, dir) => {
       import s.implicits._
       // ontology range-conformance gate over the emitted graph (the
@@ -1012,6 +1040,18 @@ object SparkEntry {
       // slot matches, and exact Jaccard from the aux dumps in DuckDB
       Dedup.minhashCalibration(t(dir, "documents"))
     }),
+    "doc_dedup_incremental" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // per-ingest-batch catch-up dedup: every 4th doc plays the NEW batch,
+      // the rest the existing corpus; only cross (new, old) pairs are banded,
+      // joined, and exact-verified — the old corpus is never re-paired with
+      // itself (the per-batch cost a 100 TB crawl pipeline pays per ingest)
+      val docs = t(dir, "documents")
+      Dedup.incrementalPairs(
+          docs.filter(col("doc_id") % 4 === 0),
+          docs.filter(col("doc_id") % 4 =!= 0), threshold = 0.3)
+        .select(col("doc_new"), col("doc_old")) // drop float jaccard from compare
+    }),
     "doc_simhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.simhashPairs(t(dir, "documents"), maxHamming = 10)
@@ -1567,6 +1607,12 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
          FROM s JOIN tot USING (lang)
          GROUP BY s.lang, s.entity_iri, tot.n
          HAVING COUNT(*) * 32 > tot.n""",
+    "kg_cdc_changes" ->
+      """SELECT url AS subj, 'web:mentions' AS pred, entity_iri AS obj_iri,
+                'insert' AS _change_type, COUNT(*) AS _n
+         FROM read_parquet('{OUT}/aux_links/*.parquet')
+         WHERE entity_iri LIKE '%3'
+         GROUP BY 1, 2, 3""",
     "kg_validate_range" ->
       """SELECT DISTINCT url AS subj, 'web:mentions' AS pred,
                 'bogus:' || entity_iri AS obj_iri
@@ -1901,6 +1947,25 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                 CAST(SUM(inter) AS BIGINT) AS sum_inter,
                 CAST(SUM(un) AS BIGINT) AS sum_union
          FROM p GROUP BY matching_slots""",
+    "doc_dedup_incremental" ->
+      """WITH b AS (SELECT doc_id, band, band_hash FROM read_parquet('{OUT}/aux_minhash_bands/*.parquet')),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_new, c.doc_id AS doc_old
+                  FROM b a JOIN b c ON a.band = c.band AND a.band_hash = c.band_hash
+                  WHERE a.doc_id % 4 = 0 AND c.doc_id % 4 <> 0),
+         s AS (SELECT doc_id, shingle_hash FROM read_parquet('{OUT}/aux_shingles/*.parquet')),
+         n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+         i AS (SELECT doc_new, doc_old, COUNT(*) AS ni
+               FROM cand JOIN s sa ON sa.doc_id = doc_new
+                         JOIN s sb ON sb.doc_id = doc_old AND sb.shingle_hash = sa.shingle_hash
+               GROUP BY doc_new, doc_old)
+         SELECT c.doc_new, c.doc_old
+         FROM cand c
+         LEFT JOIN i ON i.doc_new = c.doc_new AND i.doc_old = c.doc_old
+         LEFT JOIN n na ON na.doc_id = c.doc_new
+         LEFT JOIN n nb ON nb.doc_id = c.doc_old
+         WHERE (COALESCE(na.n, 0) = 0 AND COALESCE(nb.n, 0) = 0)
+            OR COALESCE(i.ni, 0) * 10 >=
+               (COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.ni, 0)) * 3""",
     "doc_simhash_pairs" ->
       """WITH s AS (SELECT doc_id, simhash FROM read_parquet('{OUT}/aux_simhashes/*.parquet')),
          b AS (SELECT doc_id, simhash, t.band, (simhash >> (16 * t.band)) & 65535 AS key

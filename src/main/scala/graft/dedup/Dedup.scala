@@ -129,6 +129,38 @@ object Dedup {
       .toDF("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental (catch-up) near-dup detection: candidate pairs between a
+    * NEW ingest batch and the EXISTING corpus only — the banded index join a
+    * crawl pipeline runs per batch, never re-pairing the old corpus against
+    * itself (at 100 TB the old side's bands live as a materialized LSH index
+    * table and only the new batch computes signatures; here both sides derive
+    * from [[minhashBands]], which is the same rows). Both sides keep the
+    * [[MaxBucket]] cap so one boilerplate bucket can't explode the join, and
+    * every candidate is exact-verified like [[minhashPairs]]. Output:
+    * (doc_new, doc_old, jaccard) for pairs at/above `threshold`. */
+  def incrementalPairs(newDocs: DataFrame, oldDocs: DataFrame, threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val nb = capBuckets(minhashBands(newDocs), Seq("band", "band_hash"), "doc_id")
+    val ob = capBuckets(minhashBands(oldDocs), Seq("band", "band_hash"), "doc_id")
+    val cands = nb.select(col("band"), col("band_hash"), col("doc_id").as("doc_new"))
+      .join(ob.select(col("band"), col("band_hash"), col("doc_id").as("doc_old")),
+        Seq("band", "band_hash"))
+      .select(col("doc_new"), col("doc_old")).distinct()
+    val newTexts = textsById(newDocs)
+    val oldTexts = textsById(oldDocs)
+    cands
+      .join(newTexts.select(col("doc_id").as("doc_new"), col("text").as("text_n")), "doc_new")
+      .join(oldTexts.select(col("doc_id").as("doc_old"), col("text").as("text_o")), "doc_old")
+      .select(col("doc_new").cast("long"), col("doc_old").cast("long"), col("text_n"), col("text_o"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.flatMap { case (n, o, tn, to) =>
+        val j = TextOps.jaccardL(TextOps.shingleHashes(tn), TextOps.shingleHashes(to))
+        if (j >= threshold) Some((n, o, j)) else None
+      })
+      .toDF("doc_new", "doc_old", "jaccard")
+  }
+
   /** MinHash estimator calibration: for every LSH candidate pair, the
     * signature-estimated similarity (count of matching slots out of
     * [[TextOps.MinhashPerms]]) against the EXACT shingle Jaccard, rolled up

@@ -82,6 +82,27 @@ class DedupSpec extends SparkTestBase {
     assert(got.toSeq.map(_._2).sum == cands.length.toLong)
   }
 
+  test("incremental pairs equal the cross slice of full-corpus minhash pairs") {
+    val df = corpus()
+    // the exact-dup block (ids 100..139) plays the new ingest batch, so
+    // every planted (i, 100+i) pair crosses the split
+    def isNew(id: Long) = id >= 100 && id < 200
+    val newSide = df.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    val oldSide = df.filter(col("doc_id") < 100 || col("doc_id") >= 200)
+    val inc = Dedup.incrementalPairs(newSide, oldSide, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // sides never leak: every left id is a new doc, every right id an old doc
+    assert(inc.forall { case (n, o) => isNew(n) && !isNew(o) })
+    // the same banding over the full corpus, filtered to cross pairs, must
+    // agree exactly (caps are non-binding here, so the band rows are equal)
+    val full = Dedup.minhashPairs(df, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => isNew(a) != isNew(b) }
+      .map { case (a, b) => if (isNew(a)) (a, b) else (b, a) }.toSet
+    assert(inc.toSet == full)
+    assert(inc.nonEmpty, "planted near-dups must cross the batch split")
+  }
+
   test("simhash pairs catch single-word edits at small hamming distance") {
     val pairs = Dedup.simhashPairs(corpus(), maxHamming = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
