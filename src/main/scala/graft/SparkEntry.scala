@@ -1119,8 +1119,11 @@ object SparkEntry {
       val docs = t(dir, "documents").select("doc_id", "lang", "text")
       val weights = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
-      val tot = weights.agg(sum("w").as("w_tot"))
-      val quotas = weights.crossJoin(broadcast(tot))
+      // denominator via a global window over the PER-LANGUAGE aggregate
+      // (O(languages) rows on one partition — never the corpus), keeping the
+      // contract-wide no-cross-join plan guard intact
+      val quotas = weights
+        .withColumn("w_tot", sum("w").over(Window.partitionBy()))
         .select(col("lang"), expr(s"($budget * w) DIV w_tot").as("quota"))
       docs
         .withColumn("rk", row_number().over(

@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated name substrings — dump only the
+    // matching queries (local iteration; the driver always passes 2 args).
+    // Aux dumps always run: oracles recompute from them.
+    val only: String => Boolean =
+      if (args.length > 2) { val pats = args(2).split(',').toSeq
+        name => pats.exists(name.contains)
+      } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
@@ -16,7 +23,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -47,7 +54,7 @@ object Verify {
     val outAbs = new java.io.File(outDir).getAbsolutePath
     // {SF} keys the frozen-value oracles by sweep scale (golden/frozen/<sf>/)
     val sfName = new java.io.File(sfDir).getName
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs).replace("{SF}", sfName))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -43,14 +43,18 @@ object NegativeSampling {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .localCheckpoint()
-    // one-row vocabulary scalar, broadcast into the plan (never collected)
-    val vocab = e.agg((greatest(max("src"), max("dst")) + 1L).as("n_vocab"))
+    // one vocabulary scalar off a distributed max over the materialized
+    // edge set — a single-row action (the Ann-style bounded fetch), so the
+    // candidate stage below is literally map-side: no join of any kind,
+    // just the explode and integer arithmetic
+    val nVocab = e.agg((greatest(max("src"), max("dst")) + 1L).as("n_vocab"))
+      .head().getLong(0)
     val ks = array((1 to negsPerEdge).map(lit): _*)
-    val cand = e.crossJoin(broadcast(vocab))
-      .select(col("src"), col("dst"), col("n_vocab"), explode(ks).as("k"))
+    val cand = e
+      .select(col("src"), col("dst"), explode(ks).as("k"))
       .withColumn("neg",
         (col("src") * 40503L + col("dst") * 69069L + col("k") * 97561L)
-          % col("n_vocab"))
+          % lit(nVocab))
       .filter(col("neg") =!= col("src") && col("neg") =!= col("dst"))
     // filtered protocol: the corrupted pair (src, neg) — canonicalized,
     // since the positive set is undirected-canonical — must not be true
