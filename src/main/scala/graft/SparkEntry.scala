@@ -1052,6 +1052,27 @@ object SparkEntry {
           docs.filter(col("doc_id") % 4 =!= 0), threshold = 0.3)
         .select(col("doc_new"), col("doc_old")) // drop float jaccard from compare
     }),
+    "doc_dedup_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // the STORED-INDEX form of doc_dedup_incremental (the actual per-
+      // ingest shape at 100 TB): the existing corpus's band rows are
+      // materialized ONCE as a (band, band_hash)-bucketed table, and the
+      // new batch's candidate join consumes that bucketing exchange-free
+      // (DedupIndexSpec locks the plan). Same split, same threshold, same
+      // oracle — the stored path must reproduce the recompute path exactly.
+      val docs = t(dir, "documents")
+      val table = "graft_band_index_" + new java.io.File(dir).getName.replace('.', '_')
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val loc = new java.io.File(
+        if (wh.getScheme == null) wh.toString else wh.getPath, table)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      val oldSide = docs.filter(col("doc_id") % 4 =!= 0)
+      Dedup.writeBandIndex(oldSide, table)
+      Dedup.incrementalPairsIndexed(
+          docs.filter(col("doc_id") % 4 === 0), oldSide, table, threshold = 0.3)
+        .select(col("doc_new"), col("doc_old"))
+    }),
     "doc_simhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.simhashPairs(t(dir, "documents"), maxHamming = 10)
@@ -1545,6 +1566,29 @@ $expansions
 SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
   }
 
+  /** Shared by doc_dedup_incremental and doc_dedup_index: re-derives the
+    * cross (new, old) banded candidates and the exact shingle-Jaccard
+    * threshold from the aux dumps — threshold 0.3 as `ni*10 >= union*3`. */
+  private val incrementalDedupSql =
+    """WITH b AS (SELECT doc_id, band, band_hash FROM read_parquet('{OUT}/aux_minhash_bands/*.parquet')),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_new, c.doc_id AS doc_old
+                FROM b a JOIN b c ON a.band = c.band AND a.band_hash = c.band_hash
+                WHERE a.doc_id % 4 = 0 AND c.doc_id % 4 <> 0),
+       s AS (SELECT doc_id, shingle_hash FROM read_parquet('{OUT}/aux_shingles/*.parquet')),
+       n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+       i AS (SELECT doc_new, doc_old, COUNT(*) AS ni
+             FROM cand JOIN s sa ON sa.doc_id = doc_new
+                       JOIN s sb ON sb.doc_id = doc_old AND sb.shingle_hash = sa.shingle_hash
+             GROUP BY doc_new, doc_old)
+       SELECT c.doc_new, c.doc_old
+       FROM cand c
+       LEFT JOIN i ON i.doc_new = c.doc_new AND i.doc_old = c.doc_old
+       LEFT JOIN n na ON na.doc_id = c.doc_new
+       LEFT JOIN n nb ON nb.doc_id = c.doc_old
+       WHERE (COALESCE(na.n, 0) = 0 AND COALESCE(nb.n, 0) = 0)
+          OR COALESCE(i.ni, 0) * 10 >=
+             (COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.ni, 0)) * 3"""
+
   def oracleSql: Map[String, String] = baseOracleSql +
     // the bloom prefilter is an optimization, not a semantics change: its
     // exact-verify join makes the output identical to doc_decontaminate,
@@ -1950,25 +1994,11 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                 CAST(SUM(inter) AS BIGINT) AS sum_inter,
                 CAST(SUM(un) AS BIGINT) AS sum_union
          FROM p GROUP BY matching_slots""",
-    "doc_dedup_incremental" ->
-      """WITH b AS (SELECT doc_id, band, band_hash FROM read_parquet('{OUT}/aux_minhash_bands/*.parquet')),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_new, c.doc_id AS doc_old
-                  FROM b a JOIN b c ON a.band = c.band AND a.band_hash = c.band_hash
-                  WHERE a.doc_id % 4 = 0 AND c.doc_id % 4 <> 0),
-         s AS (SELECT doc_id, shingle_hash FROM read_parquet('{OUT}/aux_shingles/*.parquet')),
-         n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
-         i AS (SELECT doc_new, doc_old, COUNT(*) AS ni
-               FROM cand JOIN s sa ON sa.doc_id = doc_new
-                         JOIN s sb ON sb.doc_id = doc_old AND sb.shingle_hash = sa.shingle_hash
-               GROUP BY doc_new, doc_old)
-         SELECT c.doc_new, c.doc_old
-         FROM cand c
-         LEFT JOIN i ON i.doc_new = c.doc_new AND i.doc_old = c.doc_old
-         LEFT JOIN n na ON na.doc_id = c.doc_new
-         LEFT JOIN n nb ON nb.doc_id = c.doc_old
-         WHERE (COALESCE(na.n, 0) = 0 AND COALESCE(nb.n, 0) = 0)
-            OR COALESCE(i.ni, 0) * 10 >=
-               (COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.ni, 0)) * 3""",
+    "doc_dedup_incremental" -> incrementalDedupSql,
+    // the stored-index path must reproduce the recompute path EXACTLY, so it
+    // legitimately shares the oracle (the independent SQL re-derivation
+    // cannot tell which side computed the bands)
+    "doc_dedup_index" -> incrementalDedupSql,
     "doc_simhash_pairs" ->
       """WITH s AS (SELECT doc_id, simhash FROM read_parquet('{OUT}/aux_simhashes/*.parquet')),
          b AS (SELECT doc_id, simhash, t.band, (simhash >> (16 * t.band)) & 65535 AS key

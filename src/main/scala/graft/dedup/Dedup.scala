@@ -139,12 +139,57 @@ object Dedup {
     * every candidate is exact-verified like [[minhashPairs]]. Output:
     * (doc_new, doc_old, jaccard) for pairs at/above `threshold`. */
   def incrementalPairs(newDocs: DataFrame, oldDocs: DataFrame, threshold: Double): DataFrame = {
+    val ob = capBuckets(minhashBands(oldDocs), Seq("band", "band_hash"), "doc_id")
+    crossVerifiedPairs(minhashBands(newDocs), ob, newDocs, oldDocs, threshold)
+  }
+
+  /** Default bucket count for [[writeBandIndex]] — sized so each bucket file
+    * stays well under an executor's working set at the corpus scales the
+    * sandbox runs; a real deployment sizes it to corpus_bands / target file
+    * size exactly like any bucketed fact table. */
+  val IndexBuckets = 32
+
+  /** Materialize the LSH band index of a corpus as a (band, band_hash)-
+    * bucketed, sorted table — the stored half of per-ingest dedup at 100 TB.
+    * The signature pass (the dominant cost of MinHash dedup) runs ONCE per
+    * corpus here instead of once per ingest batch inside
+    * [[incrementalPairs]]; the bucketed layout pre-shuffles the index on the
+    * join key, so each batch's candidate join reads it exchange-free (only
+    * the small new-batch side shuffles — [[DedupIndexSpec]] locks the plan).
+    * The [[MaxBucket]] cap is applied at build time (identical to the cap
+    * [[incrementalPairs]] applies per batch), so the stored index is also
+    * bounded per key. Contract: results of [[incrementalPairsIndexed]] over
+    * this table are EXACTLY [[incrementalPairs]] over the same corpora. */
+  def writeBandIndex(docs: DataFrame, table: String, buckets: Int = IndexBuckets): Unit =
+    capBuckets(minhashBands(docs), Seq("band", "band_hash"), "doc_id")
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, "band", "band_hash")
+      .sortBy("band", "band_hash", "doc_id")
+      .saveAsTable(table)
+
+  /** Per-ingest-batch near-dup detection against a stored [[writeBandIndex]]
+    * table: only the new batch computes signatures; the corpus side is the
+    * pre-capped, pre-bucketed index. `corpusDocs` supplies the old TEXTS for
+    * exact verification (at scale: the corpus fact table, joined only for
+    * the candidate doc_ids — a tiny fraction of the corpus). */
+  def incrementalPairsIndexed(newDocs: DataFrame, corpusDocs: DataFrame,
+      indexTable: String, threshold: Double): DataFrame = {
+    val ob = newDocs.sparkSession.table(indexTable)
+    crossVerifiedPairs(minhashBands(newDocs), ob, newDocs, corpusDocs, threshold)
+  }
+
+  /** Shared tail of the incremental variants: cap the new side, candidate-
+    * join on the band key, then exact-verify every cross pair. `oldBands`
+    * must already be capped (either per batch or at index-build time). */
+  private def crossVerifiedPairs(newBands: DataFrame, oldBands: DataFrame,
+      newDocs: DataFrame, oldDocs: DataFrame, threshold: Double): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val nb = capBuckets(minhashBands(newDocs), Seq("band", "band_hash"), "doc_id")
-    val ob = capBuckets(minhashBands(oldDocs), Seq("band", "band_hash"), "doc_id")
+    val nb = capBuckets(newBands, Seq("band", "band_hash"), "doc_id")
     val cands = nb.select(col("band"), col("band_hash"), col("doc_id").as("doc_new"))
-      .join(ob.select(col("band"), col("band_hash"), col("doc_id").as("doc_old")),
+      .join(oldBands.select(col("band"), col("band_hash"), col("doc_id").as("doc_old")),
         Seq("band", "band_hash"))
       .select(col("doc_new"), col("doc_old")).distinct()
     val newTexts = textsById(newDocs)
