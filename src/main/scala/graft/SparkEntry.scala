@@ -257,6 +257,23 @@ object SparkEntry {
         .groupBy(col("subj"), col("pred"), col("obj_iri"), col("_change_type"))
         .agg(sum(col("_n")).as("_n"))
     }),
+    "kg_warc_roundtrip" -> ((s, dir) => {
+      // the Common-Crawl interchange on-ramp, end-to-end: the page corpus
+      // serialized as member-per-record gzipped WARC files, read back
+      // through the lenient per-file-task parser, and fingerprinted. The
+      // oracle compares against aux_pages — dumped straight from the
+      // synthesized corpus, never touching the Warc code — so url,
+      // capture timestamp (µs-exact), and body bytes (md5) must all
+      // survive the container round trip.
+      val n = PagesSynth.pageCount(dir)
+      val target = s"/tmp/graft_warc_$n"
+      val loc = new java.io.File(target)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      graft.sources.Warc.write(PagesSynth.pages(s, n), target)
+      graft.sources.Warc.read(s, target)
+        .select(col("url"), unix_micros(col("warc_ts")).as("ts_us"),
+          md5(col("html")).as("html_md5"))
+    }),
     "kg_validate_range" -> ((s, dir) => {
       import s.implicits._
       // ontology range-conformance gate over the emitted graph (the
@@ -1352,6 +1369,12 @@ object SparkEntry {
       ext.mapPartitions(_.flatMap(p => MentionDetect.detect(p.url, p.text, bc.value))).toDF()
     }),
     "aux_aliases" -> ((s, dir) => PagesSynth.aliases(s).toDF()),
+    // page fingerprints straight from the synthesized corpus (the
+    // kg_warc_roundtrip oracle's independent side — no Warc code involved)
+    "aux_pages" -> ((s, dir) =>
+      PagesSynth.pages(s, PagesSynth.pageCount(dir)).toDF()
+        .select(col("url"), unix_micros(col("warc_ts")).as("ts_us"),
+          md5(col("html")).as("html_md5"))),
     // the dictionary-encoded triple stream (kg_encoded_degree's oracle
     // re-aggregates it in DuckDB — integer columns end to end)
     "aux_enc_triples" -> ((s, dir) =>
@@ -1660,6 +1683,9 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
          FROM read_parquet('{OUT}/aux_links/*.parquet')
          WHERE entity_iri LIKE '%3'
          GROUP BY 1, 2, 3""",
+    "kg_warc_roundtrip" ->
+      """SELECT url, ts_us, html_md5
+         FROM read_parquet('{OUT}/aux_pages/*.parquet')""",
     "kg_validate_range" ->
       """SELECT DISTINCT url AS subj, 'web:mentions' AS pred,
                 'bogus:' || entity_iri AS obj_iri

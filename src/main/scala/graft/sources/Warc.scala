@@ -1,0 +1,231 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.model.Page
+import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII}
+
+/** WARC (Web ARChive, ISO 28500) source/sink — the Common-Crawl interchange
+  * on-ramp for the north-rule page table. Reference semantics grafted: the
+  * same "one self-describing document container in, typed rows out, one bad
+  * record never kills the job" contract as the CityJSON source (S1/S2/P6),
+  * applied to the format real crawl corpora actually arrive in.
+  *
+  * Supported layout (what Common Crawl publishes): a `.warc` file is a
+  * sequence of WARC/1.0 (or 1.1) records — a version line, CRLF header
+  * lines, a blank line, `Content-Length` block bytes, and a CRLF CRLF
+  * separator. `WARC-Type: response` records carry an
+  * `application/http; msgtype=response` block (HTTP status line + headers +
+  * body = the page HTML); warcinfo/request/metadata records are skipped.
+  * Files whose bytes start with the gzip magic are decompressed first —
+  * including the member-per-record concatenated-gzip layout Common Crawl
+  * uses (multi-member streams decode in one pass).
+  *
+  * Error isolation (P6 at the interchange boundary): a malformed record
+  * yields one error row (file, byte offset in the decompressed stream,
+  * reason) and the parser RESYNCS at the next `WARC/1.` magic, so the
+  * records before and after a corrupt region all survive. A corrupt file
+  * never fails the distributed read.
+  *
+  * Scale shape: `spark.read.format("binaryFile")` yields one task per WARC
+  * file — exactly how production crawl jobs parallelize (Common Crawl
+  * ships ~10⁵ ~1 GiB files per snapshot; per-file tasks at 10⁵ parallelism,
+  * no splitting needed because gzip members make mid-file splits useless
+  * anyway). Parsing is narrow (zero shuffles); downstream stages see the
+  * same (url, warc_ts, html) rows the Iceberg page table carries.
+  */
+object Warc {
+
+  /** A parsed response record. `text`/`lang` are downstream concerns (the
+    * extractor/langid stages) — WARC carries only the capture itself. */
+  final case class WarcPage(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte])
+
+  /** One malformed record: where it started and why it failed. */
+  final case class WarcError(file: String, offset: Long, reason: String)
+
+  private val tsFmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+
+  // ---------------------------------------------------------------- writer
+
+  /** Serialize one response record (WARC/1.0, CRLF framing, HTTP block). */
+  def record(url: String, ts: java.sql.Timestamp, html: Array[Byte]): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${html.length}\r\n\r\n").getBytes(US_ASCII) ++ html
+    val headers = (s"WARC/1.0\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"WARC-Date: ${tsFmt.format(ts.toInstant)}\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(US_ASCII)
+    headers ++ http ++ "\r\n\r\n".getBytes(US_ASCII)
+  }
+
+  /** One gzip member (the Common-Crawl member-per-record convention). */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** Write a page Dataset as member-per-record gzipped WARC files, one file
+    * per input partition (`part-<id>.warc.gz` under `dir`). Local-FS writer
+    * for fixtures and the driver contract; a cluster deployment would open
+    * the same streams through the Hadoop FileSystem API instead. */
+  def write(pages: org.apache.spark.sql.Dataset[Page], dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    pages.foreachPartition { (it: Iterator[Page]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+          new java.io.File(dir, f"part-$pid%05d.warc.gz")))
+        try it.foreach(p => out.write(gzipMember(record(p.url, p.warc_ts, p.html))))
+        finally out.close()
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- parser
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length > 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Decompress a (possibly multi-member) gzip stream in one pass. */
+  private[sources] def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def startsWith(b: Array[Byte], at: Int, s: String): Boolean =
+    at + s.length <= b.length &&
+      (0 until s.length).forall(i => b(at + i) == s.charAt(i).toByte)
+
+  /** Next `WARC/1.` magic at/after `from` — the resync point. */
+  private def resync(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i < b.length && !startsWith(b, i, "WARC/1.")) i += 1
+    i
+  }
+
+  /** Parse every record in one (already decompressed) WARC stream.
+    * Malformed records become [[WarcError]] rows; parsing continues at the
+    * next record magic. */
+  def parseAll(bytes0: Array[Byte], file: String): (Vector[WarcPage], Vector[WarcError]) = {
+    val b = if (isGzip(bytes0)) gunzipAll(bytes0) else bytes0
+    val pages = Vector.newBuilder[WarcPage]
+    val errors = Vector.newBuilder[WarcError]
+    var i = 0
+    while (i < b.length) {
+      while (i < b.length && (b(i) == '\r' || b(i) == '\n')) i += 1
+      if (i < b.length) {
+        val start = i
+        try {
+          val (page, next) = parseRecord(b, start)
+          page.foreach(pages += _)
+          i = next
+        } catch {
+          case e if scala.util.control.NonFatal(e) =>
+            errors += WarcError(file, start.toLong, String.valueOf(e.getMessage))
+            i = resync(b, start + 1)
+        }
+      }
+    }
+    (pages.result(), errors.result())
+  }
+
+  /** One record starting at `at`: returns (page-if-response, next offset).
+    * Every lookup is bounds-checked with an offset-bearing message (the
+    * N-Triples discipline — a clean error, never an index exception). */
+  private def parseRecord(b: Array[Byte], at: Int): (Option[WarcPage], Int) = {
+    require(startsWith(b, at, "WARC/1."), s"missing WARC version magic at offset $at")
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+      require(i + 1 < b.length, s"unterminated header line at offset $from")
+      i
+    }
+    var i = lineEnd(at) + 2 // past the version line
+    var target: String = null
+    var date: String = null
+    var wtype: String = null
+    var clen: Long = -1L
+    while (!startsWith(b, i, "\r\n")) {
+      val e = lineEnd(i)
+      val line = new String(b, i, e - i, ISO_8859_1)
+      val colon = line.indexOf(':')
+      require(colon > 0, s"malformed WARC header '$line' at offset $i")
+      val name = line.substring(0, colon).trim.toLowerCase
+      val value = line.substring(colon + 1).trim
+      name match {
+        case "warc-target-uri" => target = value.stripPrefix("<").stripSuffix(">")
+        case "warc-date" => date = value
+        case "warc-type" => wtype = value
+        case "content-length" =>
+          clen = try value.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"non-numeric Content-Length '$value' at offset $i") }
+        case _ => ()
+      }
+      i = e + 2
+    }
+    i += 2 // past the blank line
+    require(clen >= 0, s"record at offset $at has no Content-Length")
+    require(wtype != null, s"record at offset $at has no WARC-Type")
+    require(i + clen <= b.length,
+      s"truncated record at offset $at (Content-Length $clen overruns the stream)")
+    val next = i + clen.toInt
+    if (wtype.equalsIgnoreCase("response")) {
+      require(target != null, s"response record at offset $at has no WARC-Target-URI")
+      require(date != null, s"response record at offset $at has no WARC-Date")
+      val ts = try java.sql.Timestamp.from(java.time.Instant.parse(date))
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(s"unparseable WARC-Date '$date' at offset $at") }
+      require(startsWith(b, i, "HTTP/"),
+        s"response block at offset $i is not an HTTP message")
+      // body starts after the HTTP header terminator, inside the block
+      var h = i
+      val blockEnd = i + clen.toInt
+      while (h + 3 < blockEnd && !(b(h) == '\r' && b(h + 1) == '\n' &&
+        b(h + 2) == '\r' && b(h + 3) == '\n')) h += 1
+      require(h + 3 < blockEnd, s"HTTP block at offset $i has no header terminator")
+      val body = java.util.Arrays.copyOfRange(b, h + 4, blockEnd)
+      (Some(WarcPage(target, ts, body)), next)
+    } else (None, next)
+  }
+
+  // ---------------------------------------------------------------- reader
+
+  /** All records of every `.warc`/`.warc.gz` under `path`, leniently: good
+    * response rows carry a null `_error`; malformed records carry the
+    * failure (and null page columns). One task per file. */
+  def readAll(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (file, bytes) =>
+        val (pages, errs) = parseAll(bytes, file)
+        pages.iterator.map(p =>
+          (p.url, p.warc_ts, p.html, null: String, -1L, null: String)) ++
+          errs.iterator.map(e =>
+            (null: String, null: java.sql.Timestamp, null: Array[Byte],
+              e.file, e.offset, e.reason))
+      })
+      .toDF("url", "warc_ts", "html", "_err_file", "_err_offset", "_error")
+  }
+
+  /** Well-formed response records only: the page-table shape (url, warc_ts,
+    * html). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readAll(spark, path).filter(col("_error").isNull)
+      .select("url", "warc_ts", "html")
+
+  /** The error side channel. */
+  def errors(spark: SparkSession, path: String): DataFrame =
+    readAll(spark, path).filter(col("_error").isNotNull)
+      .select(col("_err_file").as("file"), col("_err_offset").as("offset"),
+        col("_error").as("reason"))
+}

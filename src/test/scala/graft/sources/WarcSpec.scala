@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model.Page
+import graft.synth.PagesSynth
+import java.nio.charset.StandardCharsets.US_ASCII
+
+class WarcSpec extends SparkTestBase {
+
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  private def page(i: Int) = Page(
+    url = s"https://example.org/p/$i",
+    warc_ts = ts(s"2026-01-0${1 + i % 9}T0$i:00:00.${100 + i}Z"),
+    html = s"<html><body>page $i &amp; more</body></html>".getBytes(US_ASCII),
+    text = null, lang = null)
+
+  test("single record round-trips url, timestamp (sub-second), and body bytes") {
+    val p = page(3)
+    val (pages, errs) = Warc.parseAll(Warc.record(p.url, p.warc_ts, p.html), "f")
+    assert(errs.isEmpty && pages.size == 1)
+    assert(pages.head.url == p.url)
+    assert(pages.head.warc_ts == p.warc_ts)
+    assert(pages.head.html.sameElements(p.html))
+  }
+
+  test("non-response records (warcinfo, request) are skipped, not errors") {
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n" +
+      "software\n\r\n\r\n").getBytes(US_ASCII)
+    val req = ("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://x/y\r\n" +
+      "Content-Length: 18\r\n\r\nGET /y HTTP/1.1\r\n\r\n\r\n\r\n").getBytes(US_ASCII)
+    val p = page(1)
+    val stream = info ++ req ++ Warc.record(p.url, p.warc_ts, p.html)
+    val (pages, errs) = Warc.parseAll(stream, "f")
+    assert(errs.isEmpty, errs.mkString("; "))
+    assert(pages.map(_.url) == Vector(p.url))
+  }
+
+  test("member-per-record concatenated gzip decodes in one pass") {
+    val ps = (0 until 5).map(page)
+    val stream = ps.flatMap(p =>
+      Warc.gzipMember(Warc.record(p.url, p.warc_ts, p.html))).toArray
+    val (pages, errs) = Warc.parseAll(stream, "f")
+    assert(errs.isEmpty && pages.map(_.url) == ps.map(_.url).toVector)
+  }
+
+  test("a corrupt region yields one error and parsing resyncs at the next record") {
+    val a = page(1); val c = page(2)
+    val garbage = "WARC/1.0\r\nbroken header no colon\r\n\r\n".getBytes(US_ASCII)
+    val stream = Warc.record(a.url, a.warc_ts, a.html) ++ garbage ++
+      Warc.record(c.url, c.warc_ts, c.html)
+    val (pages, errs) = Warc.parseAll(stream, "f")
+    assert(pages.map(_.url) == Vector(a.url, c.url), "records around the corruption survive")
+    assert(errs.size == 1 && errs.head.reason.contains("malformed WARC header"))
+    assert(errs.head.offset > 0 && errs.head.file == "f")
+  }
+
+  test("a truncated final record errors cleanly and keeps prior records") {
+    val a = page(4)
+    val full = Warc.record(a.url, a.warc_ts, a.html)
+    val truncated = Warc.record(page(5).url, page(5).warc_ts, page(5).html)
+    val stream = full ++ truncated.take(truncated.length - 30)
+    val (pages, errs) = Warc.parseAll(stream, "f")
+    assert(pages.map(_.url) == Vector(a.url))
+    assert(errs.size == 1 && errs.head.reason.contains("truncated"))
+  }
+
+  test("adversarial headers fail cleanly: bad Content-Length, bad date, non-HTTP block") {
+    def rec(s: String) = s.getBytes(US_ASCII)
+    val badLen = rec("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: NaN\r\n\r\n")
+    val badDate = rec("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      "WARC-Date: yesterday\r\nContent-Length: 20\r\n\r\nHTTP/1.1 200 OK\r\n\r\nx\r\n\r\n")
+    val notHttp = rec("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 5\r\n\r\nxxxxx\r\n\r\n")
+    for ((bytes, frag) <- Seq((badLen, "Content-Length"), (badDate, "WARC-Date"),
+        (notHttp, "not an HTTP message"))) {
+      val (pages, errs) = Warc.parseAll(bytes, "f")
+      assert(pages.isEmpty && errs.size == 1, s"case $frag: $errs")
+      assert(errs.head.reason.contains(frag), s"got: ${errs.head.reason}")
+    }
+  }
+
+  test("distributed write/read round-trips the synthetic corpus exactly") {
+    val sps = spark; import sps.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_rt").toString
+    val pages = PagesSynth.pages(spark, 200)
+    Warc.write(pages.repartition(4), dir)
+    val got = Warc.read(spark, dir)
+      .select(org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("warc_ts")).as("us"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("html")).as("h"))
+      .as[(String, Long, String)].collect().toSet
+    val want = pages
+      .select(org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("warc_ts")).as("us"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("html")).as("h"))
+      .as[(String, Long, String)].collect().toSet
+    assert(got == want)
+    assert(Warc.errors(spark, dir).count() == 0)
+    // planted corruption in one extra file: errors surface, good rows remain
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.warc"),
+      "WARC/1.0\r\nno colon here\r\n\r\n".getBytes(US_ASCII))
+    assert(Warc.read(spark, dir).count() == 200)
+    assert(Warc.errors(spark, dir).count() == 1)
+  }
+}
