@@ -81,6 +81,28 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("the KG pipeline from WARC input emits the identical triple multiset") {
+    val sps = spark; import sps.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.KgPipeline
+    val dir = java.nio.file.Files.createTempDirectory("warc_pipe").toString
+    val pages = PagesSynth.pages(spark, 200)
+    Warc.write(pages.repartition(3), dir)
+    // WARC carries the capture (url, warc_ts, html); lang rides the crawl
+    // metadata table joined by url — text is re-derived by the extractor
+    val meta = pages.select(col("url"), col("text"), col("lang"))
+    val fromWarc = Warc.read(spark, dir).join(meta, "url")
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .as[Page]
+    def key(t: graft.model.Triple) = (t.subj, t.pred, t.obj_iri, t.obj_lit, t.obj_type)
+    val got = KgPipeline.pageTriples(KgPipeline.extracted(fromWarc), PagesSynth.aliasMap)
+      .collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
+    val want = KgPipeline.pageTriples(KgPipeline.extracted(pages), PagesSynth.aliasMap)
+      .collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("distributed write/read round-trips the synthetic corpus exactly") {
     val sps = spark; import sps.implicits._
     val dir = java.nio.file.Files.createTempDirectory("warc_rt").toString
