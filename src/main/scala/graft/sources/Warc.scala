@@ -72,13 +72,14 @@ object Warc {
     * per input partition (`part-<id>.warc.gz` under `dir`). Local-FS writer
     * for fixtures and the driver contract; a cluster deployment would open
     * the same streams through the Hadoop FileSystem API instead. */
-  def write(pages: org.apache.spark.sql.Dataset[Page], dir: String): Unit = {
+  def write(pages: org.apache.spark.sql.Dataset[Page], dir: String,
+      prefix: String = "part"): Unit = {
     new java.io.File(dir).mkdirs()
     pages.foreachPartition { (it: Iterator[Page]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
-          new java.io.File(dir, f"part-$pid%05d.warc.gz")))
+          new java.io.File(dir, f"$prefix-$pid%05d.warc.gz")))
         try it.foreach(p => out.write(gzipMember(record(p.url, p.warc_ts, p.html))))
         finally out.close()
       }
@@ -90,10 +91,31 @@ object Warc {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length > 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
-  /** Decompress a (possibly multi-member) gzip stream in one pass. */
-  private[sources] def gunzipAll(b: Array[Byte]): Array[Byte] = {
+  /** Decompression guard: crawl data is untrusted, and a gzip bomb (a few
+    * KiB expanding to tens of GiB) would otherwise OOM the executor mid-
+    * task. Sized generously above real WARC ratios (~5:1 on a 1 GiB file);
+    * exceeding it is a clean per-FILE error row, never a dead executor. */
+  val MaxDecompressedBytes: Long = 8L << 30
+
+  /** Decompress a (possibly multi-member) gzip stream in one pass, bounded
+    * by `max` decompressed bytes. */
+  private[sources] def gunzipAll(b: Array[Byte],
+      max: Long = MaxDecompressedBytes): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
-    try in.readAllBytes() finally in.close()
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length.toLong * 4, 1L << 20).toInt)
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        total += n
+        require(total <= max,
+          s"decompressed size exceeds the $max-byte bomb guard")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
   }
 
   private def startsWith(b: Array[Byte], at: Int, s: String): Boolean =
@@ -110,8 +132,16 @@ object Warc {
   /** Parse every record in one (already decompressed) WARC stream.
     * Malformed records become [[WarcError]] rows; parsing continues at the
     * next record magic. */
-  def parseAll(bytes0: Array[Byte], file: String): (Vector[WarcPage], Vector[WarcError]) = {
-    val b = if (isGzip(bytes0)) gunzipAll(bytes0) else bytes0
+  def parseAll(bytes0: Array[Byte], file: String,
+      maxDecompressed: Long = MaxDecompressedBytes): (Vector[WarcPage], Vector[WarcError]) = {
+    // a broken or bomb-guarded gzip stream is a FILE-level error row (there
+    // is nothing to resync into), isolated like any record failure
+    val b =
+      try { if (isGzip(bytes0)) gunzipAll(bytes0, maxDecompressed) else bytes0 }
+      catch { case e if scala.util.control.NonFatal(e) =>
+        return (Vector.empty,
+          Vector(WarcError(file, 0L, s"gzip: ${String.valueOf(e.getMessage)}")))
+      }
     val pages = Vector.newBuilder[WarcPage]
     val errors = Vector.newBuilder[WarcError]
     var i = 0
@@ -196,17 +226,12 @@ object Warc {
 
   // ---------------------------------------------------------------- reader
 
-  /** All records of every `.warc`/`.warc.gz` under `path`, leniently: good
-    * response rows carry a null `_error`; malformed records carry the
-    * failure (and null page columns). One task per file. */
-  def readAll(spark: SparkSession, path: String): DataFrame = {
+  /** The shared (file, bytes) → lenient row stage of the batch and
+    * streaming readers. */
+  private def parseStage(in: org.apache.spark.sql.Dataset[(String, Array[Byte])]): DataFrame = {
+    val spark = in.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*")
-      .load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (file, bytes) =>
+    in.mapPartitions(_.flatMap { case (file, bytes) =>
         val (pages, errs) = parseAll(bytes, file)
         pages.iterator.map(p =>
           (p.url, p.warc_ts, p.html, null: String, -1L, null: String)) ++
@@ -215,6 +240,44 @@ object Warc {
               e.file, e.offset, e.reason))
       })
       .toDF("url", "warc_ts", "html", "_err_file", "_err_offset", "_error")
+  }
+
+  /** All records of every `.warc`/`.warc.gz` under `path`, leniently: good
+    * response rows carry a null `_error`; malformed records carry the
+    * failure (and null page columns). One task per file. */
+  def readAll(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    parseStage(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])])
+  }
+
+  /** Streaming WARC ingestion: the binaryFile FILE STREAM over a crawl drop
+    * directory — each trigger processes only files the streaming checkpoint
+    * has not seen (exactly-once per file), parsed by the same lenient
+    * per-record stage as the batch reader. This is the catch-up shape for
+    * a live crawl: new segments land, `Trigger.AvailableNow` drains them,
+    * the checkpoint remembers. Good rows only (the page-table shape);
+    * errors are diagnosable by running the batch [[errors]] over the same
+    * directory. */
+  def readStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 8): DataFrame = {
+    import spark.implicits._
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    parseStage(spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])])
+      .filter(col("_error").isNull)
+      .select("url", "warc_ts", "html")
   }
 
   /** Well-formed response records only: the page-table shape (url, warc_ts,

@@ -81,6 +81,21 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("gzip bombs and corrupt gzip streams become clean file-level errors") {
+    // a "bomb": 1 MiB of zeros compressing to ~1 KiB, parsed under a 64 KiB cap
+    val bomb = Warc.gzipMember(new Array[Byte](1 << 20))
+    val (p1, e1) = Warc.parseAll(bomb, "bomb.warc.gz", maxDecompressed = 64 * 1024)
+    assert(p1.isEmpty && e1.size == 1 && e1.head.reason.contains("bomb guard"))
+    // under the default cap the same bytes are merely a non-WARC stream
+    val (p2, e2) = Warc.parseAll(bomb, "bomb.warc.gz")
+    assert(p2.isEmpty && e2.size == 1 && !e2.head.reason.contains("bomb guard"))
+    // a truncated gzip stream fails as one error row, not an exception
+    val p = page(1)
+    val gz = Warc.gzipMember(Warc.record(p.url, p.warc_ts, p.html))
+    val (p3, e3) = Warc.parseAll(gz.take(gz.length / 2), "trunc.warc.gz")
+    assert(p3.isEmpty && e3.size == 1 && e3.head.reason.startsWith("gzip:"))
+  }
+
   test("the KG pipeline from WARC input emits the identical triple multiset") {
     val sps = spark; import sps.implicits._
     import org.apache.spark.sql.functions.col
@@ -101,6 +116,39 @@ class WarcSpec extends SparkTestBase {
       .collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
     assert(got == want)
     assert(want.nonEmpty)
+  }
+
+  test("streaming WARC ingest is exactly-once per file across catch-up passes") {
+    val sps = spark; import sps.implicits._
+    import org.apache.spark.sql.functions.{col, md5, unix_micros}
+    val warcDir = java.nio.file.Files.createTempDirectory("warc_stream").toString
+    val outDir = java.nio.file.Files.createTempDirectory("warc_stream_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("warc_stream_ck").toString
+    val all = PagesSynth.pages(spark, 120)
+    Warc.write(all.filter(col("url").rlike("/p/[0-9]*[02468]$")).repartition(2), warcDir)
+    def runPass(): Unit = {
+      val q = Warc.readStream(spark, warcDir)
+        .select(col("url"), unix_micros(col("warc_ts")).as("us"), md5(col("html")).as("h"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runPass()
+    val firstCount = spark.read.parquet(outDir).count()
+    assert(firstCount == 60)
+    // a new crawl segment lands between passes — only it is processed
+    Warc.write(all.filter(!col("url").rlike("/p/[0-9]*[02468]$")).repartition(2),
+      warcDir, prefix = "seg2")
+    runPass()
+    val got = spark.read.parquet(outDir)
+      .as[(String, Long, String)].collect().toSet
+    val want = all
+      .select(col("url"), unix_micros(col("warc_ts")).as("us"), md5(col("html")).as("h"))
+      .as[(String, Long, String)].collect().toSet
+    assert(got.size == 120, "second pass appends only the new segment, no re-reads")
+    assert(got == want)
   }
 
   test("distributed write/read round-trips the synthetic corpus exactly") {
