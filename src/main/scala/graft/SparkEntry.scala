@@ -12,7 +12,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Triangles
 import graft.pipeline.KgPipeline
 import graft.synth.PagesSynth
-import graft.text.{TextOps, Tfidf}
+import graft.text.{Bpe, TextOps, Tfidf}
 
 /** Driver contract: one `queries` entry per implemented operator
   * (SURVEY.md §2 + the training-data ops), with DuckDB-runnable `oracleSql`
@@ -816,6 +816,31 @@ object SparkEntry {
         col("doc_id"),
         when(length(trim(col("text"))) === 0, 0)
           .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_ws_tokens"))
+    }),
+    "doc_bpe_pair_counts" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // BPE training round 1, fully SQL-checkable: corpus-weighted adjacent
+      // character-pair counts over the pre-token frequency table (the ONE
+      // corpus-scale pass of tokenizer training), top 50 under the total
+      // (freq DESC, l, r) order the trainer's argmax uses
+      Bpe.wordFreqs(t(dir, "documents")).as[(String, Long)]
+        .flatMap { case (w, f) =>
+          (0 until w.length - 1).iterator.map(i =>
+            (w.charAt(i).toString, w.charAt(i + 1).toString, f)) }
+        .toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("freq"))
+        .orderBy(desc("freq"), asc("l"), asc("r")).limit(50)
+    }),
+    "doc_bpe_merges" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // distributed BPE tokenizer TRAINING (12 merges): corpus touched once
+      // (word-freq agg), every round then O(vocab) — the map-reduce BPE
+      // shape. Deterministic total argmax order, so the merge table is a
+      // pure function of the corpus; oracle = sf-keyed frozen parquet
+      // (drift lock), independence comes from BpeSpec's reference-impl
+      // parity and the SQL-exact round-1 query above
+      Bpe.learnMerges(t(dir, "documents"), rounds = 12)
     }),
     "doc_token_count_bpe" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -2321,6 +2346,17 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
       """SELECT doc_id,
            len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\r\f ]+|[\t\n\r\f ]+')) AS n_bpe_tokens
          FROM documents""",
+    "doc_bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\r\f ]+|[\t\n\r\f ]+')) AS word
+                    FROM documents),
+         wf AS (SELECT word, COUNT(*) AS f FROM w GROUP BY word),
+         ix AS (SELECT word, f, unnest(range(1, length(word))) AS i FROM wf WHERE length(word) >= 2),
+         p AS (SELECT substr(word, CAST(i AS INT), 1) AS l,
+                      substr(word, CAST(i AS INT) + 1, 1) AS r, f FROM ix)
+         SELECT l, r, CAST(SUM(f) AS BIGINT) AS freq FROM p GROUP BY l, r
+         ORDER BY freq DESC, l, r LIMIT 50""",
+    "doc_bpe_merges" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/{SF}/doc_bpe_merges.parquet')",
     "doc_quality_sql" ->
       """SELECT doc_id, LENGTH(text) AS n_chars,
            LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,

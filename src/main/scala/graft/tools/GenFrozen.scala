@@ -24,7 +24,8 @@ import org.apache.spark.sql.SparkSession
 object GenFrozen {
   /** frozen per scale (output depends on the sf tables) */
   val SfQueries: Vector[String] = Vector(
-    "doc_simhash", "doc_fingerprint", "doc_split_hash64", "doc_langid", "doc_quality_score")
+    "doc_simhash", "doc_fingerprint", "doc_split_hash64", "doc_langid",
+    "doc_quality_score", "doc_bpe_merges")
 
   /** frozen once (synthetic fixed-size input, identical at every sf) */
   val CommonQueries: Vector[String] = Vector(
@@ -34,6 +35,11 @@ object GenFrozen {
     // --common-only: regenerate just the sf-independent mm_* fixtures (after
     // a Multimodal codec change) without touching the sf-keyed text oracles
     val commonOnly = args.contains("--common-only")
+    // --only=<name>: freeze a single new query without rewriting (and
+    // churning) the other fixtures' parquet bytes
+    val only = args.collectFirst { case a if a.startsWith("--only=") =>
+      a.stripPrefix("--only=") }
+    def keep(n: String) = only.forall(_ == n)
     val dirArgs = args.filterNot(_.startsWith("--")).toSeq
     val sfDirs = if (dirArgs.nonEmpty) dirArgs
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -64,9 +70,9 @@ object GenFrozen {
 
     if (!commonOnly) sfDirs.foreach { sfDir =>
       val sf = Paths.get(sfDir).getFileName.toString
-      SfQueries.foreach(freeze(_, sfDir, root.resolve(sf)))
+      SfQueries.filter(keep).foreach(freeze(_, sfDir, root.resolve(sf)))
     }
-    CommonQueries.foreach(freeze(_, sfDirs.head, root.resolve("common")))
+    CommonQueries.filter(keep).foreach(freeze(_, sfDirs.head, root.resolve("common")))
     spark.stop()
   }
 }
