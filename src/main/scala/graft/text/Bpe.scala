@@ -85,6 +85,53 @@ object Bpe {
     merges.result().toDF("round", "left", "right", "freq")
   }
 
+  /** The MANY-MERGES path (how real tokenizer training runs): after the one
+    * corpus-scale aggregation, the vocabulary table is O(distinct
+    * pre-tokens) — 10⁵-10⁶ rows at web scale, a bounded driver fetch of the
+    * same class as Ann's centroid samples — so training 32k-100k merges
+    * collects it once and iterates locally instead of paying one Spark job
+    * (plans, scheduling, a shuffle) PER MERGE. Output is bit-identical to
+    * [[learnMerges]] (spec-locked); use the distributed variant when the
+    * vocabulary genuinely cannot fit the driver, this one everywhere else.
+    * The loop recounts pairs per round (O(vocab·len)); a production trainer
+    * would delta-update counts for the words containing the merged pair —
+    * same output, lower constant. */
+  def learnMergesLocal(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Array[(Array[String], Long)] = wordFreqs(docs).as[(String, Long)]
+      .collect().map { case (w, f) => (w.toArray.map(_.toString), f) }
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { case (k, v) =>
+        if (best == null || v > best._2 ||
+          (v == best._2 && (k._1 < best._1._1 ||
+            (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+      }
+      if (best == null || best._2 < 2L) exhausted = true
+      else {
+        val ((l, r), f) = best
+        merges += ((round, l, r, f))
+        vocab = vocab.map { case (syms, wf) => (applyMerge(syms, l, r), wf) }
+        round += 1
+      }
+    }
+    merges.result().toDF("round", "left", "right", "freq")
+  }
+
   /** Tokenize with a learned merge table (the inference side — applied in
     * learned order, the standard BPE encode): pre-tokens → characters →
     * each merge replayed. Narrow; the merge table rides a broadcast-sized

@@ -88,6 +88,26 @@ class BpeSpec extends SparkTestBase {
     assert(got.size == 12, "corpus must support 12 real merges")
   }
 
+  test("local (many-merges) trainer is bit-identical to the distributed path") {
+    val rng = new scala.util.Random(11)
+    val words = Vector("graph", "graft", "grain", "grasp", "spark", "sparse",
+      "parse", "part", "457", "12", ",", "!!")
+    val texts = (0 until 50).map { _ =>
+      (0 until 25).map(_ => words(rng.nextInt(words.size))).mkString(" ")
+    }
+    val docs = docsOf(texts)
+    val dist = Bpe.learnMerges(docs, 10).collect().map(_.toString).sorted
+    val local = Bpe.learnMergesLocal(docs, 10).collect().map(_.toString).sorted
+    assert(dist.sameElements(local))
+    // the local path trains deep cheaply — 200 rounds in one action chain;
+    // the reference implementation stays the independent anchor
+    val deep = Bpe.learnMergesLocal(docs, 200).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toVector
+    assert(deep == refMerges(texts, 200))
+    assert(deep.size > 20, "corpus must support a deep merge table")
+  }
+
   test("merge table is partition-invariant") {
     val texts = (0 until 40).map(i => s"alpha beta gamma$i alpha beta")
     val a = Bpe.learnMerges(docsOf(texts).repartition(1), 6).collect().map(_.toString).sorted
