@@ -210,14 +210,7 @@ object SparkEntry {
       // shared-page counts.
       val n = PagesSynth.pageCount(dir)
       val table = s"graft_stored_graph_$n"
-      // a stale managed-table location from a PREVIOUS session's warehouse
-      // survives a fresh metastore (DROP TABLE doesn't know it) and blocks
-      // saveAsTable — clear both catalog entry and directory before writing
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val loc = new java.io.File(
-        if (wh.getScheme == null) wh.toString else wh.getPath, table)
-      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      graft.util.Warehouse.dropTable(s, table)
       KgPipeline.writeBucketedGraph(KgPipeline.triples(s, n), table, buckets = 32)
       val g = s.table(table)
       val edges = g.filter(col("pred") === "web:mentions")
@@ -1104,11 +1097,7 @@ object SparkEntry {
       // oracle — the stored path must reproduce the recompute path exactly.
       val docs = t(dir, "documents")
       val table = "graft_band_index_" + new java.io.File(dir).getName.replace('.', '_')
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val loc = new java.io.File(
-        if (wh.getScheme == null) wh.toString else wh.getPath, table)
-      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      graft.util.Warehouse.dropTable(s, table)
       val oldSide = docs.filter(col("doc_id") % 4 =!= 0)
       Dedup.writeBandIndex(oldSide, table)
       Dedup.incrementalPairsIndexed(

@@ -46,9 +46,15 @@ object NegativeSampling {
     // one vocabulary scalar off a distributed max over the materialized
     // edge set — a single-row action (the Ann-style bounded fetch), so the
     // candidate stage below is literally map-side: no join of any kind,
-    // just the explode and integer arithmetic
-    val nVocab = e.agg((greatest(max("src"), max("dst")) + 1L).as("n_vocab"))
-      .head().getLong(0)
+    // just the explode and integer arithmetic. max() over zero rows is
+    // NULL: an empty edge set yields zero negatives, not an NPE
+    val vocabRow = e.agg((greatest(max("src"), max("dst")) + 1L).as("n_vocab")).head()
+    if (vocabRow.isNullAt(0)) {
+      return e.sparkSession.emptyDataFrame
+        .select(lit(0).as("src_id"), lit(0).as("dst_id"),
+          lit(0).as("k"), lit(0).as("neg_id"))
+    }
+    val nVocab = vocabRow.getLong(0)
     val ks = array((1 to negsPerEdge).map(lit): _*)
     val cand = e
       .select(col("src"), col("dst"), explode(ks).as("k"))

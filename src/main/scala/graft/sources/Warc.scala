@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import graft.model.Page
-import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII}
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 
 /** WARC (Web ARChive, ISO 28500) source/sink — the Common-Crawl interchange
   * on-ramp for the north-rule page table. Reference semantics grafted: the
@@ -51,12 +51,14 @@ object Warc {
   def record(url: String, ts: java.sql.Timestamp, html: Array[Byte]): Array[Byte] = {
     val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
       s"Content-Length: ${html.length}\r\n\r\n").getBytes(US_ASCII) ++ html
+    // WARC named fields are UTF-8 (ISO 28500 §4) — a non-ASCII target URI
+    // must survive byte-exactly, not collapse to '?'
     val headers = (s"WARC/1.0\r\n" +
       s"WARC-Type: response\r\n" +
       s"WARC-Target-URI: $url\r\n" +
       s"WARC-Date: ${tsFmt.format(ts.toInstant)}\r\n" +
       s"Content-Type: application/http; msgtype=response\r\n" +
-      s"Content-Length: ${http.length}\r\n\r\n").getBytes(US_ASCII)
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8)
     headers ++ http ++ "\r\n\r\n".getBytes(US_ASCII)
   }
 
@@ -77,11 +79,19 @@ object Warc {
     new java.io.File(dir).mkdirs()
     pages.foreachPartition { (it: Iterator[Page]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
-          new java.io.File(dir, f"$prefix-$pid%05d.warc.gz")))
+        val tc = org.apache.spark.TaskContext.get()
+        val dst = new java.io.File(dir, f"$prefix-${tc.partitionId()}%05d.warc.gz")
+        // attempt-private temp + atomic rename: a speculative or retried
+        // attempt can never interleave bytes with (or truncate under)
+        // another attempt writing the same partition file
+        val tmp = new java.io.File(dir, s".${dst.getName}.attempt-${tc.taskAttemptId()}")
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
         try it.foreach(p => out.write(gzipMember(record(p.url, p.warc_ts, p.html))))
         finally out.close()
+        java.nio.file.Files.move(tmp.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
       }
     }
   }
@@ -92,10 +102,14 @@ object Warc {
     b.length > 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
   /** Decompression guard: crawl data is untrusted, and a gzip bomb (a few
-    * KiB expanding to tens of GiB) would otherwise OOM the executor mid-
-    * task. Sized generously above real WARC ratios (~5:1 on a 1 GiB file);
-    * exceeding it is a clean per-FILE error row, never a dead executor. */
-  val MaxDecompressedBytes: Long = 8L << 30
+    * KiB expanding to gigabytes) would otherwise OOM the executor mid-task.
+    * The cap MUST sit below the JVM's ~2 GiB byte-array ceiling — a larger
+    * "guard" can never fire cleanly because the backing array throws
+    * OutOfMemoryError (not catchable as NonFatal) first. Exceeding it is a
+    * clean per-FILE error row, never a dead executor; a deployment
+    * ingesting full ~1 GiB-compressed Common Crawl segments (≈5 GiB
+    * decompressed) should split per gzip member instead of raising it. */
+  val MaxDecompressedBytes: Long = 1L << 30
 
   /** Decompress a (possibly multi-member) gzip stream in one pass, bounded
     * by `max` decompressed bytes. */
@@ -181,7 +195,7 @@ object Warc {
     var clen: Long = -1L
     while (!startsWith(b, i, "\r\n")) {
       val e = lineEnd(i)
-      val line = new String(b, i, e - i, ISO_8859_1)
+      val line = new String(b, i, e - i, UTF_8)
       val colon = line.indexOf(':')
       require(colon > 0, s"malformed WARC header '$line' at offset $i")
       val name = line.substring(0, colon).trim.toLowerCase

@@ -45,39 +45,81 @@ object Bpe {
     out.result()
   }
 
+  /** Initial symbols = CODE POINTS, not UTF-16 units — a surrogate pair
+    * (emoji, CJK-B) stays one symbol, so learned merges are always valid
+    * strings and agree with code-point-based engines (the DuckDB oracle's
+    * `substr`). */
+  private[text] def splitSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** THE argmax order of BPE training, shared verbatim by the distributed
+    * reduce and the local loop so the two trainers agree bit-for-bit on
+    * ties for ANY symbols: freq DESC, then left, then right in UTF-8 BYTE
+    * order (engine-collation-free — Java String order differs from UTF-8
+    * order for supplementary-plane symbols). */
+  private[text] val MergeOrdering: Ordering[(String, String, Long)] =
+    new Ordering[(String, String, Long)] {
+      private def utf8(x: String, y: String): Int =
+        java.util.Arrays.compare(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      def compare(a: (String, String, Long), b: (String, String, Long)): Int = {
+        if (a._3 != b._3) java.lang.Long.compare(b._3, a._3)
+        else {
+          val c = utf8(a._1, b._1)
+          if (c != 0) c else utf8(a._2, b._2)
+        }
+      }
+    }
+
   /** Learn up to `rounds` merges from the corpus. Output: one row per
     * learned merge — (round, left, right, freq), `freq` = the pair's
     * corpus-weighted count when it was chosen. Training stops early when
     * no adjacent pair occurs at least twice (merging singletons would only
-    * memorize the tail). */
+    * memorize the tail).
+    *
+    * The round loop runs on an RDD deliberately (the rare imperative-loop
+    * case): each round's vocab is local-checkpointed and the PREVIOUS
+    * round's blocks are unpersisted once the new state materializes, so
+    * executor storage stays O(vocab) at any merge count — a Dataset
+    * localCheckpoint chain would retain every round's blocks for the life
+    * of the job (32k-100k rounds of them on a real tokenizer run). */
   def learnMerges(docs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
-    // symbols start as single characters; the vocab table is materialized
-    // once (the only corpus-wide pass) and each round's merge map is cut
-    // from lineage eagerly — rounds stay O(vocab), plans stay flat
-    var vocab: Dataset[(Array[String], Long)] = wordFreqs(docs).as[(String, Long)]
-      .map { case (w, f) => (w.toArray.map(_.toString), f) }
-      .localCheckpoint()
+    var vocab: org.apache.spark.rdd.RDD[(Array[String], Long)] =
+      wordFreqs(docs).as[(String, Long)].rdd
+        .map { case (w, f) => (splitSymbols(w), f) }
+    vocab.localCheckpoint()
     val merges = Vector.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
+      // corpus-weighted pair counts (exact long sums), then the bounded
+      // single-row argmax under the shared total order (the Ann-style fetch)
       val top = vocab
         .flatMap { case (syms, f) =>
-          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f)) }
-        .toDF("l", "r", "f")
-        .groupBy("l", "r").agg(sum("f").as("freq"))
-        .orderBy(desc("freq"), asc("l"), asc("r"))
-        .limit(1) // bounded single-row argmax fetch (the Ann-style action)
-        .as[(String, String, Long)]
-        .collect()
+          (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), f)) }
+        .reduceByKey(_ + _)
+        .map { case ((l, r), f) => (l, r, f) }
+        .takeOrdered(1)(MergeOrdering)
       top.headOption.filter(_._3 >= 2L) match {
         case Some((l, r, f)) =>
           merges += ((round, l, r, f))
+          val prev = vocab
           vocab = vocab.map { case (syms, wf) => (applyMerge(syms, l, r), wf) }
-            .localCheckpoint()
+          vocab.localCheckpoint()
+          vocab.count() // materialize the new state before freeing the old
+          prev.unpersist(blocking = false)
           round += 1
         case None => exhausted = true
       }
@@ -101,7 +143,7 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab: Array[(Array[String], Long)] = wordFreqs(docs).as[(String, Long)]
-      .collect().map { case (w, f) => (w.toArray.map(_.toString), f) }
+      .collect().map { case (w, f) => (splitSymbols(w), f) }
     val merges = Vector.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -115,15 +157,15 @@ object Bpe {
           i += 1
         }
       }
-      var best: ((String, String), Long) = null
-      counts.foreach { case (k, v) =>
-        if (best == null || v > best._2 ||
-          (v == best._2 && (k._1 < best._1._1 ||
-            (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+      // argmax under the SAME total order as the distributed reduce
+      var best: (String, String, Long) = null
+      counts.foreach { case ((l, r), v) =>
+        val c = (l, r, v)
+        if (best == null || MergeOrdering.compare(c, best) < 0) best = c
       }
-      if (best == null || best._2 < 2L) exhausted = true
+      if (best == null || best._3 < 2L) exhausted = true
       else {
-        val ((l, r), f) = best
+        val (l, r, f) = best
         merges += ((round, l, r, f))
         vocab = vocab.map { case (syms, wf) => (applyMerge(syms, l, r), wf) }
         round += 1
@@ -148,7 +190,7 @@ object Bpe {
           val m = pat.matcher(text)
           var n = 0L
           while (m.find()) {
-            var syms = m.group().toArray.map(_.toString)
+            var syms = splitSymbols(m.group())
             ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
             n += syms.length
           }

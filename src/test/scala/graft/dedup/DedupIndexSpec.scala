@@ -30,11 +30,7 @@ class DedupIndexSpec extends SparkTestBase {
   }
 
   private def freshTable(name: String): String = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = new java.io.File(
-      if (wh.getScheme == null) wh.toString else wh.getPath, name)
-    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    graft.util.Warehouse.dropTable(spark, name)
     name
   }
 

@@ -63,4 +63,10 @@ class NegativeSamplingSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(one == many)
   }
+
+  test("an empty edge set yields zero negatives, not a crash") {
+    val out = NegativeSampling.tailCorrupt(edges().limit(0), 3)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("src_id", "dst_id", "k", "neg_id"))
+  }
 }

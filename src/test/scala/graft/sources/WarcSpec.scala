@@ -24,6 +24,16 @@ class WarcSpec extends SparkTestBase {
     assert(pages.head.html.sameElements(p.html))
   }
 
+  test("non-ASCII target URIs survive the header round trip byte-exactly (UTF-8)") {
+    val url = "https://example.org/café/東京?q=😀"
+    val ts = this.ts("2026-03-01T10:20:30.456789Z")
+    val html = "<html>café</html>".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val (pages, errs) = Warc.parseAll(Warc.record(url, ts, html), "f")
+    assert(errs.isEmpty && pages.size == 1)
+    assert(pages.head.url == url, s"got ${pages.head.url}")
+    assert(pages.head.html.sameElements(html))
+  }
+
   test("non-response records (warcinfo, request) are skipped, not errors") {
     val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n" +
       "software\n\r\n\r\n").getBytes(US_ASCII)
