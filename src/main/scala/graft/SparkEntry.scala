@@ -25,6 +25,16 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixed scratch path under /tmp, cleared before reuse: contract queries
+    * that materialize a table write to ONE deterministic location per
+    * scale — repeated Verify runs replace it instead of accumulating a
+    * fresh createTempDirectory copy per invocation. */
+  private def freshTmpDir(name: String): String = {
+    val loc = new java.io.File("/tmp", name)
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    loc.toString
+  }
+
   /** Per-page entity cap before co-mention pair expansion (mirrored as the
     * literal 64 in the kg_comention_triangles oracle). Far above the honest
     * per-page entity counts of the corpus — it exists to bound the damage a
@@ -236,9 +246,7 @@ object SparkEntry {
       val full = KgPipeline.triples(s, n)
       val prev = full.filter(!(col("pred") === "web:mentions" &&
         col("obj_iri").endsWith("3")))
-      val target = s"/tmp/graft_cdc_$n"
-      val loc = new java.io.File(target)
-      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      val target = freshTmpDir(s"graft_cdc_$n")
       val sink = new graft.pipeline.GraphSink.Snapshotted(parts = 8)
       sink.write(prev, target)
       sink.write(full, target)
@@ -259,9 +267,7 @@ object SparkEntry {
       // capture timestamp (µs-exact), and body bytes (md5) must all
       // survive the container round trip.
       val n = PagesSynth.pageCount(dir)
-      val target = s"/tmp/graft_warc_$n"
-      val loc = new java.io.File(target)
-      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      val target = freshTmpDir(s"graft_warc_$n")
       graft.sources.Warc.write(PagesSynth.pages(s, n), target)
       graft.sources.Warc.read(s, target)
         .select(col("url"), unix_micros(col("warc_ts")).as("ts_us"),
@@ -299,7 +305,7 @@ object SparkEntry {
       // The table is written first with its dictionary sidecars riding
       // along (page/entity dicts AS DATA).
       val n = PagesSynth.pageCount(dir)
-      val tmp = java.nio.file.Files.createTempDirectory("enc_contract").toString + "/g"
+      val tmp = freshTmpDir(s"graft_enc_$n") + "/g"
       pipeline.EncodedGraphTable.write(KgPipeline.encodedTriples(s, n),
         PagesSynth.pageDict(s, n), PagesSynth.entityDict(s), n, tmp)
       pipeline.EncodedGraphTable.readEncoded(s, tmp)
@@ -316,7 +322,7 @@ object SparkEntry {
       // scanned on either dimension alone). Results are layout-invariant;
       // the oracle re-aggregates the same rectangle from the encoded dump.
       val n = PagesSynth.pageCount(dir)
-      val tmp = java.nio.file.Files.createTempDirectory("clus_contract").toString + "/g"
+      val tmp = freshTmpDir(s"graft_clus_$n") + "/g"
       pipeline.EncodedGraphTable.writeClustered(KgPipeline.encodedTriples(s, n),
         PagesSynth.pageDict(s, n), PagesSynth.entityDict(s), n, tmp)
       val maxPage = n - 1
@@ -1425,11 +1431,11 @@ object SparkEntry {
       import s.implicits._
       implicit val sp: SparkSession = s
       // full per-slot OPH signatures (64 rows/doc) so the oracle can count
-      // matching slots per candidate pair entirely inside DuckDB
-      t(dir, "documents").select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-        .mapPartitions(_.flatMap { case (id, txt) =>
-          TextOps.minhashSignatureOph(TextOps.shingleHashes(txt)).iterator.zipWithIndex
-            .map { case (v, slot) => (id, slot, v) } })
+      // matching slots per candidate pair entirely inside DuckDB; derives
+      // from Dedup.minhashSigs — the ONE signature code path
+      Dedup.minhashSigs(t(dir, "documents"))
+        .flatMap { case (id, sig) =>
+          sig.iterator.zipWithIndex.map { case (v, slot) => (id, slot, v) } }
         .toDF("doc_id", "slot", "sig")
     }),
     "aux_simhashes" -> ((s, dir) => {

@@ -36,6 +36,21 @@ object Dedup {
   private def textsById(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
 
+  /** Per-doc OPH MinHash signature — THE single derivation every consumer
+    * (bands, calibration, the aux_minhash_sigs oracle dump) builds on: the
+    * frozen-signature discipline needs one code path, not three copies
+    * that can silently desynchronize an oracle from its query. Chained
+    * typed consumers fuse with this map object-to-object
+    * (EliminateSerialization), so sharing costs nothing. */
+  def minhashSigs(docs: DataFrame): Dataset[(Long, Array[Long])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, TextOps.minhashSignatureOph(TextOps.shingleHashes(text)))
+      })
+  }
+
   /** MinHash signatures: (doc_id, band, band_hash) rows. Signature is
     * one-permutation hashing with densification (one hash per shingle
     * instead of 64 — see [[TextOps.minhashSignatureOph]]): the signature
@@ -43,9 +58,8 @@ object Dedup {
   def minhashBands(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val sig = TextOps.minhashSignatureOph(TextOps.shingleHashes(text))
+    minhashSigs(docs)
+      .mapPartitions(_.flatMap { case (id, sig) =>
         TextOps.bandKeys(sig).map { case (b, h) => (id, b, h) }
       })
       .toDF("doc_id", "band", "band_hash")
@@ -222,10 +236,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val texts = textsById(docs)
-    val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) =>
-        (id, TextOps.minhashSignatureOph(TextOps.shingleHashes(t)).toSeq)
-      }).toDF("doc_id", "sig")
+    val sigs = minhashSigs(docs).toDF("doc_id", "sig")
     val bands = sigs.as[(Long, Seq[Long])]
       .mapPartitions(_.flatMap { case (id, sig) =>
         TextOps.bandKeys(sig.toArray).map { case (b, h) => (id, b, h) }
@@ -472,8 +483,14 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
     val grams =
       if (hashKeys) grams0
+        // SALT FIRST: Spark's multi-arg xxhash64 folds left-to-right with
+        // the running hash as the seed, so hash(gram, salt) is a pure
+        // function of hash(gram) — zero independent entropy. hash(salt,
+        // gram) instead evaluates the gram under a different effective
+        // seed (the classic two-seed family), giving the two keys the
+        // 2⁻¹²⁸ joint collision space the mode claims
         .withColumn("h1", xxhash64(col("gram")))
-        .withColumn("h2", xxhash64(col("gram"), lit(0x9e3779b9L)))
+        .withColumn("h2", xxhash64(lit(0x9e3779b9L), col("gram")))
         .drop("gram")
       else grams0
     val dupGrams = grams.groupBy(keys.map(col): _*)

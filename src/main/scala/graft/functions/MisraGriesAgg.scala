@@ -141,13 +141,14 @@ object MisraGriesAgg {
 
   private[functions] def buildFromExprs(exprs: Seq[Expression]): MisraGriesAgg = {
     val (col, kExpr) = CosineExpr.exactlyTwo("graft_heavy_hitters", exprs)
-    val k = kExpr match {
+    // fold first so CAST(64 AS INT)-style determinable constants work; a
+    // genuinely non-constant k gets an error that SAYS so (not a bogus
+    // wrong-argument-count message)
+    val folded = if (kExpr.foldable) Literal.create(kExpr.eval(), kExpr.dataType) else kExpr
+    val k = folded match {
       case Literal(v: Int, IntegerType) => v
-      case other => throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> "graft_heavy_hitters (k must be an integer literal)",
-          "expectedNum" -> "2", "actualNum" -> exprs.length.toString, "docroot" -> ""))
+      case _ => throw new IllegalArgumentException(
+        s"graft_heavy_hitters(col, k): k must be a constant INTEGER, got ${kExpr.sql}")
     }
     MisraGriesAgg(col, k)
   }
