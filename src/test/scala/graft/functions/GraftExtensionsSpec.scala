@@ -61,11 +61,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_heavy_hitters(item, 4) AS hh FROM hh_ext_t GROUP BY g")
         .head.getMap[String, Long](0)
       assert(hh == Map("x" -> 2L, "y" -> 1L))
-      val eh = intercept[org.apache.spark.sql.AnalysisException] {
-        // k must be an integer literal, not a column
+      val eh = intercept[IllegalArgumentException] {
+        // k must be a constant integer, not a column — and the error must
+        // SAY that (not a bogus wrong-argument-count message)
         spark.sql("SELECT graft_heavy_hitters(item, item) FROM hh_ext_t").collect()
       }
-      assert(eh.getMessage.contains("graft_heavy_hitters"))
+      assert(eh.getMessage.contains("k must be a constant INTEGER"))
+      // a foldable non-Literal constant is accepted (folded before matching)
+      val hh2 = spark.sql(
+        "SELECT graft_heavy_hitters(item, CAST(4 AS INT)) AS hh FROM hh_ext_t GROUP BY g")
+        .head.getMap[String, Long](0)
+      assert(hh2 == Map("x" -> 2L, "y" -> 1L))
 
       // the native as-of join strategy rides the same extensions class
       assert(spark.sessionState.planner.strategies.contains(graft.plans.AsofJoinStrategy),
