@@ -74,4 +74,38 @@ object IncrementalIngest {
     val q = startEncoded(spark, pagesDir, tableDir, checkpointDir, pageDict)
     q.awaitTermination()
   }
+
+  /** WARC-fed catch-up (the live-crawl end of the north rule): crawl
+    * segments land in `warcDir` as `.warc(.gz)` files, each pass processes
+    * only files the checkpoint has not seen ([[graft.sources.Warc.readStream]],
+    * exactly-once per file), languages resolve by a STREAM-STATIC join
+    * against the crawl metadata table (`langMeta`: url → lang — ids/metadata
+    * come from the catalog, never from re-derivation, the same discipline
+    * as [[startEncoded]]'s page dictionary), and the SAME narrow
+    * extract→mention→link→triples stages append to the graph table. */
+  def startWarc(spark: SparkSession, warcDir: String, graphDir: String,
+      checkpointDir: String,
+      langMeta: org.apache.spark.sql.DataFrame): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val pages = graft.sources.Warc.readStream(spark, warcDir)
+      .join(langMeta.select(col("url"), col("lang")), "url")
+      .select(col("url"), col("warc_ts"), col("html"),
+        lit(null).cast("string").as("text"), col("lang"))
+      .as[Page]
+    val triples = KgPipeline.pageTriples(KgPipeline.extracted(pages), PagesSynth.aliasMap)
+    triples.writeStream
+      .format("parquet")
+      .option("path", graphDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Convenience: drain every unseen WARC segment once. */
+  def runOnceWarc(spark: SparkSession, warcDir: String, graphDir: String,
+      checkpointDir: String, langMeta: org.apache.spark.sql.DataFrame): Unit = {
+    val q = startWarc(spark, warcDir, graphDir, checkpointDir, langMeta)
+    q.awaitTermination()
+  }
 }

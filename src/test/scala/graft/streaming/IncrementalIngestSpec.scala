@@ -84,4 +84,40 @@ class IncrementalIngestSpec extends SparkTestBase {
     assert(fact.exceptAll(batch).count() == 0 && batch.exceptAll(fact).count() == 0,
       "encoded streaming output must equal batch encoded output as a multiset")
   }
+
+  test("WARC-fed ingest: crawl segments to graph triples, exactly once, batch-equal") {
+    val sps = spark; import sps.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("warc_ingest").toString
+    val warcDir = s"$root/crawl"
+    val graphDir = s"$root/graph"
+    val ckpt = s"$root/ckpt"
+    val all = PagesSynth.pages(spark, 150)
+    val meta = all.select(col("url"), col("lang"))
+
+    // segment 1 lands: the first 100 pages
+    graft.sources.Warc.write(all.filter(col("url").rlike("/p/[0-9]$|/p/[0-9][0-9]$")),
+      warcDir, prefix = "seg1")
+    IncrementalIngest.runOnceWarc(spark, warcDir, graphDir, ckpt, meta)
+    val n1 = spark.read.parquet(graphDir).count()
+    assert(n1 > 0)
+
+    // no-op pass: the checkpoint remembers every processed segment file
+    IncrementalIngest.runOnceWarc(spark, warcDir, graphDir, ckpt, meta)
+    assert(spark.read.parquet(graphDir).count() == n1)
+
+    // segment 2 lands; only it is processed
+    graft.sources.Warc.write(all.filter(col("url").rlike("/p/1[0-4][0-9]$")),
+      warcDir, prefix = "seg2")
+    IncrementalIngest.runOnceWarc(spark, warcDir, graphDir, ckpt, meta)
+    val got = spark.read.parquet(graphDir)
+    val dupUrls = got.filter("pred = 'web:lang'").groupBy("subj").count().filter("count > 1").count()
+    assert(dupUrls == 0, "no page ingested twice")
+
+    // multiset-equal to the batch pipeline over the same 150 pages
+    val batch = graft.pipeline.KgPipeline
+      .pageTriples(graft.pipeline.KgPipeline.extracted(all), PagesSynth.aliasMap).toDF()
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "WARC-fed streaming output must equal batch output as a multiset")
+  }
 }
