@@ -453,6 +453,21 @@ object SparkEntry {
         Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
       graft.operators.NegativeSampling.tailCorrupt(edges, negsPerEdge = 3)
     }),
+    "kg_random_walks" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic DeepWalk-style walk corpus over the co-mention
+      // entity graph (id space; same hub-capped edge derivation as
+      // kg_neg_samples): 4 steps, one walk per node — the graph-embedding
+      // training sentences, exactly re-derivable in SQL (an RNG walker
+      // never could be)
+      val n = PagesSynth.pageCount(dir)
+      val mentions = KgPipeline.encodedTriples(s, n).toDF()
+        .filter(col("pred_id") === KgPipeline.PredMentions)
+        .select(col("page_id"), col("ent_id"))
+      val edges = Triangles.canonical(
+        Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
+      graft.operators.RandomWalks.walks(edges, steps = 4)
+    }),
     "kg_heavy_entities" -> ((s, dir) => {
       // heavy entities per language: entities owning > 1/32 of their
       // language's mention stream. Sketch-prune + exact-verify: a
@@ -1632,6 +1647,39 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
           OR COALESCE(i.ni, 0) * 10 >=
              (COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.ni, 0)) * 3"""
 
+  /** kg_random_walks oracle: the same capped co-mention edges as
+    * kg_neg_samples, symmetrized, then every walk step unrolled — step t
+    * picks the neighbor minimizing ((seed·40503 + t·69069 + v·97561) mod
+    * 1000003, v), exactly [[graft.operators.RandomWalks]]' rule. */
+  private def walkOracleSql(steps: Int): String = {
+    val head =
+      """WITH m AS (SELECT DISTINCT page_id, ent_id
+                    FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+                    WHERE pred_id = 4),
+              l AS (SELECT page_id, ent_id FROM (
+                      SELECT page_id, ent_id,
+                             ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY ent_id) AS rn
+                      FROM m) WHERE rn <= 64),
+              e AS MATERIALIZED (
+                    SELECT DISTINCT a.ent_id AS src, b.ent_id AS dst
+                    FROM l a JOIN l b ON a.page_id = b.page_id AND a.ent_id < b.ent_id),
+              sym AS MATERIALIZED (
+                    SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+              w0 AS MATERIALIZED (SELECT DISTINCT src AS seed, src AS node FROM sym)"""
+    val stepsSql = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT seed, node FROM (
+            SELECT w.seed, s.dst AS node,
+                   ROW_NUMBER() OVER (PARTITION BY w.seed ORDER BY
+                     (CAST(w.seed AS BIGINT) * 40503 + $t * 69069
+                      + CAST(s.dst AS BIGINT) * 97561) % 1000003, s.dst) AS rn
+            FROM w${t - 1} w JOIN sym s ON w.node = s.src) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val union = (0 to steps).map(t =>
+      s"SELECT CAST(seed AS BIGINT) AS seed, $t AS step, CAST(node AS BIGINT) AS node FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"$head,\n$stepsSql\n$union"
+  }
+
   def oracleSql: Map[String, String] = baseOracleSql +
     // the bloom prefilter is an optimization, not a semantics change: its
     // exact-verify join makes the output identical to doc_decontaminate,
@@ -1778,6 +1826,7 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
            AND NOT EXISTS (SELECT 1 FROM e t
                            WHERE t.src = LEAST(c.src, c.neg)
                              AND t.dst = GREATEST(c.src, c.neg))""",
+    "kg_random_walks" -> walkOracleSql(4),
     "kg_clustered_rect" ->
       """WITH t AS (SELECT * FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')),
               b AS (SELECT MAX(page_id) // 4 AS lo, MAX(page_id) // 2 AS hi FROM t)

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Deterministic walks: hand-derived steps on a tiny graph (the score
+  * arithmetic recomputed by hand in the comments), an independent local
+  * reference on random graphs, partition invariance, and the round salt. */
+class RandomWalksSpec extends SparkTestBase {
+
+  private def edges(pairs: (Long, Long)*) = {
+    val s = spark; import s.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  /** The walk rule, recomputed independently: symmetrize, then step t from
+    * node u (walk seeded at s) to the neighbor v minimizing
+    * ((s*40503 + (t + round*1000)*69069 + v*97561) mod 1000003, v). */
+  private def refWalks(pairs: Seq[(Long, Long)], steps: Int, round: Int): Set[(Long, Int, Long)] = {
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val out = Set.newBuilder[(Long, Int, Long)]
+    adj.keys.foreach { seed =>
+      var node = seed
+      out += ((seed, 0, node))
+      (1 to steps).foreach { t =>
+        node = adj(node).minBy(v =>
+          (Math.floorMod(seed * 40503L + (t + round * 1000L) * 69069L + v * 97561L,
+            1000003L), v))
+        out += ((seed, t, node))
+      }
+    }
+    out.result()
+  }
+
+  private def collect(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("matches the independent reference on a messy random graph") {
+    val rng = new scala.util.Random(3)
+    val pairs = (0 until 150).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val got = collect(RandomWalks.walks(edges(pairs: _*), steps = 6))
+    assert(got == refWalks(pairs, 6, 0))
+    assert(got.nonEmpty)
+  }
+
+  test("every walk advances along edges and emits one node per step") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 3L))
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    val got = collect(RandomWalks.walks(edges(pairs: _*), steps = 5))
+    val bySeed = got.groupBy(_._1)
+    assert(bySeed.keySet == Set(0L, 1L, 2L, 3L))
+    bySeed.foreach { case (seed, rows) =>
+      val path = rows.toSeq.sortBy(_._2).map(_._3)
+      assert(rows.size == 6, s"seed $seed: one node per step 0..5")
+      assert(path.head == seed)
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(sym.contains((a, b)), s"step $a->$b must be an edge")
+      }
+    }
+  }
+
+  test("partition-invariant and different round salts diverge") {
+    val rng = new scala.util.Random(9)
+    val pairs = (0 until 80).map(_ => (rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val df = edges(pairs: _*)
+    val a = collect(RandomWalks.walks(df.repartition(1), 4))
+    val b = collect(RandomWalks.walks(df.repartition(7), 4))
+    assert(a == b)
+    val salted = collect(RandomWalks.walks(df, 4, round = 1))
+    assert(salted != a, "a different round salt must produce different walks")
+    assert(salted == refWalks(pairs, 4, 1))
+  }
+}
