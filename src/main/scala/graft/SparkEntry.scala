@@ -1284,6 +1284,15 @@ object SparkEntry {
       Ann.bruteTopK(emb, Ann.headQueries(emb, 20), k = 5)
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
+    "emb_hard_negatives" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // contrastive-training hard negatives: for each labeled head query,
+      // the 5 most-similar DIFFERENT-label vectors (filter BEFORE ranking —
+      // post-filtering a plain top-k would under-fill); exact single scan
+      val emb = t(dir, "embeddings")
+      Ann.hardNegatives(emb, Ann.headLabeledQueries(emb, 20), k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+    }),
     "emb_knn_lsh" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
@@ -2501,6 +2510,15 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
            SELECT q.qid, e.vec_id,
              ROW_NUMBER() OVER (PARTITION BY q.qid
                ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id ASC) AS rank
-           FROM q, embeddings e WHERE e.vec_id <> q.qid) t WHERE rank <= 5"""
+           FROM q, embeddings e WHERE e.vec_id <> q.qid) t WHERE rank <= 5""",
+    "emb_hard_negatives" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe, label ql
+                    FROM embeddings ORDER BY vec_id LIMIT 20)
+         SELECT qid AS query_id, vec_id, rank FROM (
+           SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id ASC) AS rank
+           FROM q, embeddings e
+           WHERE e.vec_id <> q.qid AND e.label <> q.ql) t WHERE rank <= 5"""
   )
 }

@@ -52,6 +52,52 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining — the contrastive-training staple: for each
+    * LABELED query, the k most-similar vectors carrying a DIFFERENT label
+    * (the negatives that actually move an InfoNCE/triplet loss; easy
+    * negatives teach nothing). Same single-scan per-partition-heap shape
+    * as [[bruteTopK]] — the label test is one extra comparison per
+    * candidate, so the exact path costs the same as plain kNN. At corpus
+    * scale the IVF index path applies the identical label filter on the
+    * probed lists. */
+  def hardNegatives(emb: DataFrame, queries: Array[(Long, Array[Float], Int)], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(queries)
+    val partials = emb
+      .select(col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[Scored]()(
+          Ordering.by[Scored, Double](s => -s.cosine)))
+        it.foreach { case (id, v, label) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv, qLabel) = qs(qi)
+            if (qid != id && label != qLabel) {
+              val c = TextOps.cosine(qv, v)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue(Scored(qid, id, c))
+              else if (c > h.head.cosine) { h.dequeue(); h.enqueue(Scored(qid, id, c)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap(_.iterator)
+      }
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    partials.toDF("query_id", "vec_id", "cosine")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** First `q` vectors with their labels (the hard-negative query set). */
+  def headLabeledQueries(emb: DataFrame, q: Int): Array[(Long, Array[Float], Int)] =
+    emb.select(col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))
+      .orderBy("vec_id").limit(q).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+
   /** LSH-bucketed top-k: candidates limited to vectors sharing the query's
     * hyperplane bucket or any single-bit-flip probe of it. */
   def lshTopK(emb: DataFrame, queries: Array[(Long, Array[Float])], k: Int, bits: Int = 10): DataFrame = {

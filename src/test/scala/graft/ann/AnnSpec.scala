@@ -22,6 +22,26 @@ class AnnSpec extends SparkTestBase {
     spark.createDataset(rows).toDF("vec_id", "embedding", "label")
   }
 
+  test("hard negatives exclude same-label vectors and match a local reference") {
+    val emb = clustered()
+    val queries = Ann.headLabeledQueries(emb, 5)
+    val got = Ann.hardNegatives(emb, queries, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Int]("rank")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toVector).toMap
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    queries.foreach { case (qid, qv, ql) =>
+      // label filter applies BEFORE ranking — the independent reference
+      val expected = all.filter { case (id, _, l) => id != qid && l != ql }
+        .map { case (id, v, _) => (id, TextOps.cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toVector
+      assert(got(qid) == expected, s"query $qid")
+      // in this strongly clustered set every query's UNFILTERED nearest
+      // neighbors are same-cluster — the filter must provably bite
+      val labelOf = all.map(t => t._1 -> t._3).toMap
+      assert(got(qid).forall(labelOf(_) != ql))
+    }
+  }
+
   test("brute-force top-k matches a local exact computation") {
     val emb = clustered()
     val queries = Ann.headQueries(emb, 5)
