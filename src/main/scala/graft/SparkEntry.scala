@@ -468,6 +468,20 @@ object SparkEntry {
         Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
       graft.operators.RandomWalks.walks(edges, steps = 4)
     }),
+    "kg_walk_skipgrams" -> ((s, dir) => {
+      import s.implicits._
+      // the embedder's input: (center, context) pair counts within a
+      // ±2-step window over the kg_random_walks corpus — one walk-keyed
+      // self-join (≤ 5 rows per key) + one pair aggregation
+      val n = PagesSynth.pageCount(dir)
+      val mentions = KgPipeline.encodedTriples(s, n).toDF()
+        .filter(col("pred_id") === KgPipeline.PredMentions)
+        .select(col("page_id"), col("ent_id"))
+      val edges = Triangles.canonical(
+        Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
+      graft.operators.RandomWalks.skipGrams(
+        graft.operators.RandomWalks.walks(edges, steps = 4), window = 2)
+    }),
     "kg_heavy_entities" -> ((s, dir) => {
       // heavy entities per language: entities owning > 1/32 of their
       // language's mention stream. Sketch-prune + exact-verify: a
@@ -1686,7 +1700,7 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
     val union = (0 to steps).map(t =>
       s"SELECT CAST(seed AS BIGINT) AS seed, $t AS step, CAST(node AS BIGINT) AS node FROM w$t")
       .mkString("\nUNION ALL ")
-    s"$head,\n$stepsSql\n$union"
+    s"$head,\n$stepsSql,\nwalks AS ($union)\n"
   }
 
   def oracleSql: Map[String, String] = baseOracleSql +
@@ -1835,7 +1849,12 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
            AND NOT EXISTS (SELECT 1 FROM e t
                            WHERE t.src = LEAST(c.src, c.neg)
                              AND t.dst = GREATEST(c.src, c.neg))""",
-    "kg_random_walks" -> walkOracleSql(4),
+    "kg_random_walks" -> (walkOracleSql(4) + "SELECT seed, step, node FROM walks"),
+    "kg_walk_skipgrams" -> (walkOracleSql(4) +
+      """SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
+         FROM walks a JOIN walks b
+           ON a.seed = b.seed AND a.step <> b.step AND ABS(a.step - b.step) <= 2
+         GROUP BY 1, 2"""),
     "kg_clustered_rect" ->
       """WITH t AS (SELECT * FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')),
               b AS (SELECT MAX(page_id) // 4 AS lo, MAX(page_id) // 2 AS hi FROM t)

@@ -58,4 +58,19 @@ object RandomWalks {
     }
     out
   }
+
+  /** Skip-gram (center, context) pairs from a walk corpus — the word2vec-
+    * style training input DeepWalk feeds its embedder: within each walk,
+    * every ordered node pair at step distance 1..window, with corpus-wide
+    * counts. One self-join keyed on the walk id (bounded: ≤ steps+1 rows
+    * per key) plus one pair aggregation. */
+  def skipGrams(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val a = walks.select(col("seed"), col("step").as("step_a"), col("node").as("center"))
+    val b = walks.select(col("seed"), col("step").as("step_b"), col("node").as("context"))
+    a.join(b, Seq("seed"))
+      .filter(col("step_a") =!= col("step_b") &&
+        abs(col("step_a") - col("step_b")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+  }
 }

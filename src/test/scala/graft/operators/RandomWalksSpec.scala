@@ -73,4 +73,18 @@ class RandomWalksSpec extends SparkTestBase {
     assert(salted != a, "a different round salt must produce different walks")
     assert(salted == refWalks(pairs, 4, 1))
   }
+
+  test("skip-gram pairs equal a local window expansion over the same walks") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 3L), (3L, 4L))
+    val walks = RandomWalks.walks(edges(pairs: _*), steps = 5)
+    val got = RandomWalks.skipGrams(walks, window = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val w = collect(walks).toSeq
+    val want = (for {
+      (s1, t1, a) <- w; (s2, t2, b) <- w
+      if s1 == s2 && t1 != t2 && math.abs(t1 - t2) <= 2
+    } yield (a, b)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
