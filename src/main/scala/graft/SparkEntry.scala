@@ -870,6 +870,18 @@ object SparkEntry {
       // parity and the SQL-exact round-1 query above
       Bpe.learnMerges(t(dir, "documents"), rounds = 12)
     }),
+    "doc_bpe_encode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // the tokenizer's inference side over its own learned table: train 12
+      // merges (bounded local loop), replay them across the corpus, count
+      // tokens per doc — the end-to-end train→encode contract. Frozen
+      // oracle (drift lock); independence comes from BpeSpec's reference
+      // parity on both the trainer and the encoder
+      val docs = t(dir, "documents")
+      val merges = Bpe.learnMergesLocal(docs, rounds = 12).collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+      Bpe.encode(docs, merges)
+    }),
     "doc_token_count_bpe" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // BPE-style pre-tokenizer count; fully declarative (codegen regex) —
@@ -2429,6 +2441,8 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
          ORDER BY freq DESC, l, r LIMIT 50""",
     "doc_bpe_merges" ->
       "SELECT * FROM read_parquet('/root/repo/golden/frozen/{SF}/doc_bpe_merges.parquet')",
+    "doc_bpe_encode" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/frozen/{SF}/doc_bpe_encode.parquet')",
     "doc_quality_sql" ->
       """SELECT doc_id, LENGTH(text) AS n_chars,
            LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,

@@ -25,7 +25,7 @@ object GenFrozen {
   /** frozen per scale (output depends on the sf tables) */
   val SfQueries: Vector[String] = Vector(
     "doc_simhash", "doc_fingerprint", "doc_split_hash64", "doc_langid",
-    "doc_quality_score", "doc_bpe_merges")
+    "doc_quality_score", "doc_bpe_merges", "doc_bpe_encode")
 
   /** frozen once (synthetic fixed-size input, identical at every sf) */
   val CommonQueries: Vector[String] = Vector(
