@@ -92,6 +92,46 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-path hard negatives — the corpus-scale form: candidates limited to
+    * the query's nProbe nearest centroid lists (exactly [[ivfTopK]]'s scan)
+    * with the different-label test applied inline, so the probe pruning and
+    * the label filter compose in one pass. Same recall/exactness trade as
+    * plain IVF search; [[hardNegatives]] is the exact baseline. */
+  def hardNegativesIvf(emb: DataFrame, queries: Array[(Long, Array[Float], Int)], k: Int,
+      nlist: Int = 16, nProbe: Int = 4, sampleN: Int = 2048, iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(emb, nlist, sampleN, iters)
+    // same probed-list selection (and tie-break) as probeMap, label riding
+    val probes: Map[Int, Vector[(Long, Array[Float], Int)]] = queries.toVector
+      .flatMap { case q @ (_, qv, _) =>
+        cents.indices.map(ci => (TextOps.cosine(qv, cents(ci)), ci))
+          .sortBy { case (c, ci) => (-c, ci) }
+          .take(nProbe).map { case (_, ci) => (ci, q) }
+      }
+      .groupBy(_._1).map { case (ci, v) => (ci, v.map(_._2)) }
+    val bc = spark.sparkContext.broadcast(cents)
+    val bp = spark.sparkContext.broadcast(probes)
+    val partials = emb
+      .select(col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val pm = bp.value
+        it.flatMap { case (id, v, label) =>
+          val best = assign(cs, v)
+          pm.getOrElse(best, Vector.empty).collect {
+            case (qid, qv, qLabel) if qid != id && label != qLabel =>
+              Scored(qid, id, TextOps.cosine(qv, v))
+          }
+        }
+      }
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    partials.toDF("query_id", "vec_id", "cosine")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** First `q` vectors with their labels (the hard-negative query set). */
   def headLabeledQueries(emb: DataFrame, q: Int): Array[(Long, Array[Float], Int)] =
     emb.select(col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))

@@ -42,6 +42,20 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("IVF hard negatives: different-label only, recall >= 0.8 vs the exact path") {
+    val emb = clustered()
+    val queries = Ann.headLabeledQueries(emb, 5)
+    val exact = Ann.hardNegatives(emb, queries, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Ann.hardNegativesIvf(emb, queries, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val labelOf = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val qLabel = queries.map(q => q._1 -> q._3).toMap
+    assert(ivf.forall { case (q, v) => labelOf(v) != qLabel(q) })
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${ivf.size}/${exact.size})")
+  }
+
   test("brute-force top-k matches a local exact computation") {
     val emb = clustered()
     val queries = Ann.headQueries(emb, 5)
