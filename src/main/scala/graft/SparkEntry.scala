@@ -854,8 +854,11 @@ object SparkEntry {
       // (freq DESC, l, r) order the trainer's argmax uses
       Bpe.wordFreqs(t(dir, "documents")).as[(String, Long)]
         .flatMap { case (w, f) =>
-          (0 until w.length - 1).iterator.map(i =>
-            (w.charAt(i).toString, w.charAt(i + 1).toString, f)) }
+          // CODE-POINT symbols (Bpe.splitSymbols — the trainer's own split),
+          // not UTF-16 charAt: a supplementary-plane character would desync
+          // this query from both the trainer and the oracle's substr
+          val syms = Bpe.splitSymbols(w)
+          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f)) }
         .toDF("l", "r", "f")
         .groupBy("l", "r").agg(sum("f").as("freq"))
         .orderBy(desc("freq"), asc("l"), asc("r")).limit(50)

@@ -36,7 +36,10 @@ object Linker {
     // alias: reduce the SMALL side first (O(|aliases|)) instead of a per-
     // mention aggregation — min_by over struct keys plans as SortAggregate,
     // which would sort-shuffle the whole mention stream. After the reduction
-    // the link is a pure broadcast hash join: zero shuffles on the big side.
+    // the join strategy is deliberately left to the optimizer: at dictionary
+    // scale AQE picks broadcast (locked by `LinkerPlanSpec`), and at a
+    // web-scale alias table (10^8+ rows) it degrades to a shuffle join
+    // instead of a forced-broadcast driver OOM.
     // (With context-dependent scores the per-mention agg returns; keep it
     // two-phase partial/final and off the struct-key path in that case.)
     val best = aliases
@@ -46,7 +49,7 @@ object Linker {
         struct((col("prior") * -1).as("negPrior"), col("entity_iri"))).as("best"))
       .select(col("alias_norm"),
         col("best.entity_iri").as("entity_iri"), col("best.prior").as("score"))
-    mentions.join(broadcast(best), "alias_norm")
+    mentions.join(best, "alias_norm")
       .select(
         col("url"), col("span_start"), col("span_end"), col("surface"),
         col("entity_iri"), col("score"))

@@ -135,8 +135,14 @@ object EncodedGraphTable {
     val langs = spark.read.parquet(s"$target/dict_langs")
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap // closed vocab: 5 rows
     val fact = spark.read.parquet(s"$target/triples")
+    // LEFT join + raise_error, mirroring the ent_iri path: an inner join
+    // would silently DROP fact rows whose page_id is missing from a
+    // corrupt/stale page sidecar — both dictionary misses must fail loudly
     val withUrl = fact
-      .join(readPageDict(spark, target), Seq("page_id"))
+      .join(readPageDict(spark, target), Seq("page_id"), "left")
+      .withColumn("url", coalesce(col("url"),
+        raise_error(concat(lit("page_id missing from dict_pages: "),
+          col("page_id").cast("string")))))
       .join(readEntityDict(spark, target).withColumnRenamed("iri", "ent_iri"),
         Seq("ent_id"), "left") // ent_id = -1 on non-mention rows
     KgPipeline.decodeColumns(withUrl, preds, langs)

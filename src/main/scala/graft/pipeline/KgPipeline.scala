@@ -241,8 +241,17 @@ object KgPipeline {
         base ++ mentions
       }
     }.toDF("url", "pred_id", "ent_id", "lit")
-    rows.join(pageDict.select(col("page_id").cast("long"), col("url")), Seq("url"))
-      .select(col("page_id"), col("pred_id"), col("ent_id"), col("lit")).as[EncTriple]
+    // LEFT join + raise_error: an inner join would silently DROP every
+    // triple of a page absent from the dictionary (a genuinely new page in
+    // a catch-up batch). Callers must pre-mint page ids for each batch
+    // before encoding (IncrementalIngest does); a miss is a pipeline bug
+    // and fails loudly, exactly like decodeColumns' unknown ent_id.
+    rows.join(pageDict.select(col("page_id").cast("long"), col("url")), Seq("url"), "left")
+      .select(
+        coalesce(col("page_id"),
+          raise_error(concat(lit("url missing from page dictionary: "), col("url"))))
+          .as("page_id"),
+        col("pred_id"), col("ent_id"), col("lit")).as[EncTriple]
   }
 
   /** Salted repartition for the graph write (north rule): partition key is

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, when}
 import graft.model.Page
 import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 
@@ -71,26 +71,39 @@ object Warc {
   }
 
   /** Write a page Dataset as member-per-record gzipped WARC files, one file
-    * per input partition (`part-<id>.warc.gz` under `dir`). Local-FS writer
-    * for fixtures and the driver contract; a cluster deployment would open
-    * the same streams through the Hadoop FileSystem API instead. */
+    * per input partition (`part-<id>.warc.gz` under `dir`), through the
+    * Hadoop FileSystem API — the sink targets any scheme the session can
+    * reach (`file:`, HDFS, S3A), like every other sink in the repo. The
+    * session's Hadoop conf is captured at the driver (SerializableConfig —
+    * public in Spark 4) so executor tasks resolve the filesystem with the
+    * caller's credentials/settings, not task-local defaults.
+    *
+    * Visibility protocol per partition file: write to an attempt-private
+    * dot-prefixed temp (invisible to Spark's hidden-file filter, so a
+    * concurrent reader of `dir` never sees a torn file), close, then
+    * rename — a speculative or retried attempt can never interleave bytes
+    * with another attempt writing the same partition file. */
   def write(pages: org.apache.spark.sql.Dataset[Page], dir: String,
       prefix: String = "part"): Unit = {
-    new java.io.File(dir).mkdirs()
+    val spark = pages.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(conf.value).mkdirs(dirPath)
     pages.foreachPartition { (it: Iterator[Page]) =>
       if (it.hasNext) {
         val tc = org.apache.spark.TaskContext.get()
-        val dst = new java.io.File(dir, f"$prefix-${tc.partitionId()}%05d.warc.gz")
-        // attempt-private temp + atomic rename: a speculative or retried
-        // attempt can never interleave bytes with (or truncate under)
-        // another attempt writing the same partition file
-        val tmp = new java.io.File(dir, s".${dst.getName}.attempt-${tc.taskAttemptId()}")
-        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+        val d = new org.apache.hadoop.fs.Path(dir)
+        val fs = d.getFileSystem(conf.value)
+        val dst = new org.apache.hadoop.fs.Path(d, f"$prefix-${tc.partitionId()}%05d.warc.gz")
+        val tmp = new org.apache.hadoop.fs.Path(d, s".${dst.getName}.attempt-${tc.taskAttemptId()}")
+        val out = new java.io.BufferedOutputStream(fs.create(tmp, true))
         try it.foreach(p => out.write(gzipMember(record(p.url, p.warc_ts, p.html))))
         finally out.close()
-        java.nio.file.Files.move(tmp.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // last-attempt-wins: attempts write identical bytes, so replacing a
+        // finished duplicate is safe (HDFS/local rename won't overwrite)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
         ()
       }
     }
@@ -273,10 +286,28 @@ object Warc {
     * has not seen (exactly-once per file), parsed by the same lenient
     * per-record stage as the batch reader. This is the catch-up shape for
     * a live crawl: new segments land, `Trigger.AvailableNow` drains them,
-    * the checkpoint remembers. Good rows only (the page-table shape);
-    * errors are diagnosable by running the batch [[errors]] over the same
-    * directory. */
-  def readStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 8): DataFrame = {
+    * the checkpoint remembers. Good rows only (the page-table shape) —
+    * but NOT silently: every micro-batch reports an observed
+    * `warc_ingest` metric (n_rows, n_errors), so a gzip-bombed or corrupt
+    * segment consumed by the checkpoint surfaces in every
+    * `StreamingQueryProgress` instead of streaming as zero rows with no
+    * signal. For a durable record, [[readStreamAll]] exposes the same
+    * lenient rows (error rows included) for a parallel error sink. */
+  def readStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 8): DataFrame =
+    readStreamAll(spark, path, maxFilesPerTrigger)
+      .observe("warc_ingest",
+        count(when(col("_error").isNotNull, 1)).as("n_errors"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("_error").isNull)
+      .select("url", "warc_ts", "html")
+
+  /** The LENIENT streaming reader: same per-record error isolation as the
+    * batch [[readAll]], as a stream — good rows carry a null `_error`,
+    * malformed records carry (file, offset, reason). Route
+    * `_error IS NOT NULL` to an error sink to keep a durable record of
+    * corrupt segments the streaming checkpoint has already consumed (the
+    * batch [[errors]] cannot revisit them). */
+  def readStreamAll(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 8): DataFrame = {
     import spark.implicits._
     val binarySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
@@ -290,8 +321,6 @@ object Warc {
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])])
-      .filter(col("_error").isNull)
-      .select("url", "warc_ts", "html")
   }
 
   /** Well-formed response records only: the page-table shape (url, warc_ts,

@@ -49,7 +49,7 @@ object Bpe {
     * (emoji, CJK-B) stays one symbol, so learned merges are always valid
     * strings and agree with code-point-based engines (the DuckDB oracle's
     * `substr`). */
-  private[text] def splitSymbols(w: String): Array[String] = {
+  private[graft] def splitSymbols(w: String): Array[String] = {
     val out = Array.newBuilder[String]
     var i = 0
     while (i < w.length) {
@@ -174,26 +174,92 @@ object Bpe {
     merges.result().toDF("round", "left", "right", "freq")
   }
 
-  /** Tokenize with a learned merge table (the inference side — applied in
-    * learned order, the standard BPE encode): pre-tokens → characters →
-    * each merge replayed. Narrow; the merge table rides a broadcast-sized
-    * local array (vocab-bounded, like any tokenizer's). */
+  /** Reference encode semantics, kept for the parity spec: every merge
+    * replayed in learned order over the whole symbol sequence. O(M·L) per
+    * pre-token — correct at any merge count, ruinous at a real 32k-100k
+    * vocabulary. [[encodeSymbols]] is the production equivalent. */
+  private[graft] def encodeReplay(w: String, merges: Array[(String, String)]): Array[String] = {
+    var syms = splitSymbols(w)
+    merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+    syms
+  }
+
+  /** The standard rank-map encode: O(L log L) per pre-token, INDEPENDENT of
+    * merge-table size. A doubly-linked symbol list plus a (rank, position)
+    * min-heap of adjacent-pair candidates with lazy invalidation — each pop
+    * merges the lowest-rank pair currently present, left-to-right within a
+    * rank. Stale heap entries self-identify (the symbols recorded at push
+    * time no longer match the list) and pop as no-ops.
+    *
+    * BIT-IDENTICAL to replaying the merges in learned order
+    * ([[encodeReplay]], spec-locked) for ANY table, not just unambiguous
+    * ones: pops come off a min-heap and a merge only creates pairs
+    * containing its new symbol, so ranks are processed in nondecreasing
+    * order — when rank i is reached, the list is exactly the replay's
+    * state at pass i. The one divergence window (a table holding two
+    * derivations of the same symbol string, e.g. a+bc and ab+c: a rank-j
+    * merge manufactures a NEW occurrence of a lower-rank pair the replay's
+    * pass i never saw) is closed by the `rk > after` guard — merge-created
+    * pairs enqueue only at ranks above the merge that created them, which
+    * is precisely replay's "pass i is over" rule. */
+  private[graft] def encodeSymbols(start: Array[String],
+      ranks: collection.Map[(String, String), Int]): Array[String] = {
+    val n = start.length
+    if (n < 2) return start
+    val syms = start.clone()
+    val next = Array.tabulate(n)(_ + 1) // n = end sentinel
+    val prev = Array.tabulate(n)(_ - 1)
+    val alive = Array.fill(n)(true)
+    final case class Cand(rank: Int, pos: Int, l: String, r: String)
+    val heap = collection.mutable.PriorityQueue.empty[Cand](
+      Ordering.by[Cand, (Int, Int)](c => (c.rank, c.pos)).reverse)
+    def push(pos: Int, after: Int): Unit = {
+      val np = next(pos)
+      if (np < n) ranks.get((syms(pos), syms(np)))
+        .foreach(rk => if (rk > after) heap.enqueue(Cand(rk, pos, syms(pos), syms(np))))
+    }
+    var i = 0
+    while (i < n - 1) { push(i, -1); i += 1 }
+    while (heap.nonEmpty) {
+      val c = heap.dequeue()
+      if (alive(c.pos) && syms(c.pos) == c.l) {
+        val q = next(c.pos)
+        if (q < n && syms(q) == c.r) {
+          syms(c.pos) = c.l + c.r
+          val nq = next(q)
+          alive(q) = false
+          next(c.pos) = nq
+          if (nq < n) prev(nq) = c.pos
+          if (prev(c.pos) >= 0) push(prev(c.pos), c.rank)
+          push(c.pos, c.rank)
+        }
+      }
+    }
+    val out = Array.newBuilder[String]
+    var k = 0
+    while (k < n) { if (alive(k)) out += syms(k); k += 1 }
+    out.result()
+  }
+
+  /** Tokenize with a learned merge table (the inference side): pre-tokens →
+    * code-point symbols → [[encodeSymbols]] under the table's rank map.
+    * Narrow; the merge table rides a broadcast-sized local array
+    * (vocab-bounded, like any tokenizer's), and per-token cost is
+    * O(L log L) regardless of merge count — the shape that survives a real
+    * 32k-100k-merge vocabulary. */
   def encode(docs: DataFrame, merges: Array[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(merges)
+    val bc = spark.sparkContext.broadcast(
+      merges.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap)
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        val ms = bc.value
+        val ranks = bc.value
         val pat = java.util.regex.Pattern.compile(Tokenize.BpePattern)
         it.map { case (id, text) =>
           val m = pat.matcher(text)
           var n = 0L
-          while (m.find()) {
-            var syms = splitSymbols(m.group())
-            ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
-            n += syms.length
-          }
+          while (m.find()) n += encodeSymbols(splitSymbols(m.group()), ranks).length
           (id, n)
         }
       }

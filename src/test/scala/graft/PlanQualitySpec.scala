@@ -196,6 +196,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("url") && !plan.contains("iri,"), plan)
   }
 
+  test("kg_link_relational's alias join is broadcast by AQE choice, not a hint") {
+    val df = SparkEntry.queries("kg_link_relational")(spark, sfDir)
+    // no hint anywhere in the logical plan: the strategy must be the
+    // optimizer's own size-based decision, so a 10^8-row alias table
+    // degrades to a shuffle join instead of a forced-broadcast OOM
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "linkRelational still carries a broadcast hint")
+    df.collect() // finalize the adaptive plan
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the reduced alias table at dictionary size:\n$finalPlan")
+  }
+
   test("no driver-contract query plans a cartesian product") {
     // ALL queries; emb_pairs_cosine's bounded-head brute force is the
     // documented exception (nested-loop on 120 rows by design)

@@ -188,4 +188,61 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.read(spark, dir).count() == 200)
     assert(Warc.errors(spark, dir).count() == 1)
   }
+
+  test("writer targets an explicit file:-scheme Hadoop path, atomically visible") {
+    val sps = spark; import sps.implicits._
+    val local = java.nio.file.Files.createTempDirectory("warc_hfs")
+    val dir = "file:" + local.toString // resolved via o.a.h.fs.FileSystem, not java.io
+    val pages = PagesSynth.pages(spark, 60)
+    Warc.write(pages.repartition(3), dir)
+    // visible output = finished partition files only; the attempt-private
+    // dot-temps either renamed away or remain invisible to Spark's
+    // hidden-file filter (the atomic-visibility property)
+    val files = java.nio.file.Files.list(local).iterator()
+    val names = Iterator.continually(files).takeWhile(_.hasNext).map(_.next().getFileName.toString).toVector
+    // dot-prefixed entries (Hadoop .crc sidecars, any abandoned attempt
+    // temp) are invisible to Spark's hidden-file filter; every VISIBLE
+    // entry must be a finished partition file, and no attempt temp survives
+    val visible = names.filterNot(_.startsWith("."))
+    assert(visible.nonEmpty && visible.forall(_.matches("part-\\d{5}\\.warc\\.gz")), names.toString)
+    assert(!names.exists(_.contains(".attempt-")), names.toString)
+    val got = Warc.read(spark, dir).select($"url").as[String].collect().toSet
+    val want = pages.select($"url").as[String].collect().toSet
+    assert(got == want)
+  }
+
+  test("streaming ingest surfaces malformed files: observed metric + lenient error stream") {
+    val sps = spark; import sps.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_errstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_errstream_ck").toString
+    val p = page(1)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "good.warc"),
+      Warc.record(p.url, p.warc_ts, p.html))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.warc"),
+      "WARC/1.0\r\nno colon here\r\n\r\n".getBytes(US_ASCII))
+    val q = Warc.readStream(spark, dir)
+      .writeStream.format("memory").queryName("warc_obs")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("warc_obs").count() == 1) // good rows only in the sink
+    // ...but the batch was NOT silent: the observed warc_ingest metric
+    // carried the malformed-record count in the query progress
+    val metrics = q.recentProgress.flatMap(pr =>
+      Option(pr.observedMetrics.get("warc_ingest")))
+    assert(metrics.nonEmpty, "no warc_ingest observation in any progress event")
+    assert(metrics.map(_.getAs[Long]("n_errors")).sum == 1L, metrics.mkString("; "))
+    assert(metrics.map(_.getAs[Long]("n_rows")).sum == 2L, metrics.mkString("; "))
+    // the lenient stream is the durable error sink: same rows, errors kept
+    val ckpt2 = java.nio.file.Files.createTempDirectory("warc_errstream_ck2").toString
+    val q2 = Warc.readStreamAll(spark, dir)
+      .filter($"_error".isNotNull)
+      .select($"_err_file", $"_err_offset", $"_error")
+      .writeStream.format("memory").queryName("warc_obs_err")
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val errs = spark.table("warc_obs_err").collect()
+    assert(errs.length == 1 && errs.head.getString(0).endsWith("bad.warc"), errs.mkString)
+  }
 }

@@ -120,6 +120,75 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.learnMerges(docs, 5).count() == 0)
   }
 
+  test("rank-map encode is bit-identical to merge replay on learned tables") {
+    val rng = new scala.util.Random(23)
+    val words = Vector("the", "there", "then", "other", "than", "thx",
+      "low", "lower", "lowest", "new", "news", "banana", "bandana")
+    val texts = (0 until 60).map { _ =>
+      (0 until 30).map(_ => words(rng.nextInt(words.size))).mkString(" ")
+    }
+    val docs = docsOf(texts)
+    for (rounds <- Seq(12, 200)) {
+      val merges = Bpe.learnMergesLocal(docs, rounds).collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+      val ranks = merges.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
+      val pat = java.util.regex.Pattern.compile(graft.extract.Tokenize.BpePattern)
+      texts.foreach { t =>
+        val m = pat.matcher(t)
+        while (m.find()) {
+          val w = m.group()
+          assert(Bpe.encodeSymbols(Bpe.splitSymbols(w), ranks).toSeq ==
+            Bpe.encodeReplay(w, merges).toSeq, s"diverged on '$w' at $rounds merges")
+        }
+      }
+    }
+  }
+
+  test("rank-map encode matches replay even on an ambiguous (double-derivation) table") {
+    // rank 0 wants ("bc","a") but "bc" only EXISTS after rank 1 runs —
+    // replay's pass 0 never sees it, so the encode must not merge it either
+    // (the pure-min-rank GPT-2 runtime would output ["bca"] here)
+    val merges = Array(("bc", "a"), ("b", "c"))
+    val ranks = merges.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    assert(Bpe.encodeSymbols(Bpe.splitSymbols("bca"), ranks).toSeq == Seq("bc", "a"))
+    assert(Bpe.encodeReplay("bca", merges).toSeq == Seq("bc", "a"))
+  }
+
+  test("rank-map encode parity on a 1.5k-merge synthetic table, randomized words") {
+    // pool-structured table (every pair's components derive from earlier
+    // rounds, like a real trainer's output), far past the contract's 12
+    val rng = new scala.util.Random(31)
+    val base = "abcdef".map(_.toString).toVector
+    val pool = scala.collection.mutable.ArrayBuffer(base: _*)
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    val merges = Array.newBuilder[(String, String)]
+    while (seen.size < 1500) {
+      val p = (pool(rng.nextInt(pool.size)), pool(rng.nextInt(pool.size)))
+      if (!seen(p) && (p._1 + p._2).length <= 24) {
+        seen += p; merges += p; pool += (p._1 + p._2)
+      }
+    }
+    val table = merges.result()
+    val ranks = table.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    (0 until 200).foreach { _ =>
+      val w = (0 until (5 + rng.nextInt(40))).map(_ => base(rng.nextInt(base.size))).mkString
+      assert(Bpe.encodeSymbols(Bpe.splitSymbols(w), ranks).toSeq ==
+        Bpe.encodeReplay(w, table).toSeq, s"diverged on '$w'")
+    }
+  }
+
+  test("encode cost is independent of merge-table size (50k merges, instant)") {
+    // chain table a^i + a: replay would walk all 50k merges per pre-token
+    // (~10^9 symbol comparisons on this word); the rank-map encode touches
+    // only the pairs actually present and finishes in milliseconds
+    val chain = Array.iterate("a", 50000)(_ + "a").map(s => (s, "a"))
+    val ranks = chain.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val word = "a" * 20000
+    val out = Bpe.encodeSymbols(Bpe.splitSymbols(word), ranks)
+    // rank 0 ("a","a") tiles the word; no later chain pair finds a lone "a"
+    assert(out.length == 10000 && out.forall(_ == "aa"))
+  }
+
   test("encode applies learned merges and never increases token count") {
     val texts = (0 until 20).map(_ => "the quick the quicker the quickest")
     val docs = docsOf(texts)
