@@ -183,6 +183,52 @@ object Dedup {
       .sortBy("band", "band_hash", "doc_id")
       .saveAsTable(table)
 
+  /** The MAINTENANCE write of the stored band index: append one accepted
+    * ingest batch's (capped) band rows under the SAME bucket spec, so the
+    * next batch's [[incrementalPairsIndexed]] sees this batch's documents —
+    * without it, batch N+1 dedups only against the initial corpus. The
+    * bucket count must match the table's (Spark validates and fails loudly
+    * on mismatch). Cap discipline: each append is capped per
+    * (band, band_hash) like the build, so a key's total rows grow at most
+    * [[MaxBucket]] per append; run [[recapBandIndex]] periodically (the
+    * OPTIMIZE analog) to re-apply the global cap across batches. Caller
+    * owns exactly-once (append only batches actually accepted, once). */
+  def appendToBandIndex(docs: DataFrame, table: String): Unit =
+    capBuckets(minhashBands(docs), Seq("band", "band_hash"), "doc_id")
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet")
+      .bucketBy(tableBuckets(docs.sparkSession, table), "band", "band_hash")
+      .sortBy("band", "band_hash", "doc_id")
+      .saveAsTable(table)
+
+  /** The stored index's own bucket count, from catalog metadata — appends
+    * and recaps must match it EXACTLY or the bucketed-read guarantee
+    * silently dies, so it is never caller-supplied. */
+  private def tableBuckets(spark: org.apache.spark.sql.SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$table has no bucket spec"))
+
+  /** Compaction for an appended band index: rewrite the table with the
+    * global [[MaxBucket]] cap re-applied across all batches (per-append
+    * caps bound each batch, not their union). Same rewrite-then-swap shape
+    * as GraphSink's compaction: the new table materializes fully before the
+    * old name drops, so a failure mid-recap leaves the original intact. */
+  def recapBandIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val tmp = s"${table}_recap_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    capBuckets(spark.table(table), Seq("band", "band_hash"), "doc_id")
+      .write
+      .format("parquet")
+      .bucketBy(tableBuckets(spark, table), "band", "band_hash")
+      .sortBy("band", "band_hash", "doc_id")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Per-ingest-batch near-dup detection against a stored [[writeBandIndex]]
     * table: only the new batch computes signatures; the corpus side is the
     * pre-capped, pre-bucketed index. `corpusDocs` supplies the old TEXTS for

@@ -108,4 +108,57 @@ object IncrementalIngest {
     val q = startWarc(spark, warcDir, graphDir, checkpointDir, langMeta)
     q.awaitTermination()
   }
+
+  /** Per-ingest DEDUPLICATED document ingestion — the band index composed
+    * with the catch-up stream (the 100 TB per-batch dedup loop):
+    *
+    *  1. each micro-batch of (doc_id, text) files dedups against the STORED
+    *     band index ([[graft.dedup.Dedup.incrementalPairsIndexed]] — only
+    *     the batch computes signatures, the index side joins exchange-free),
+    *  2. near-dups of any ALREADY-ACCEPTED document are dropped,
+    *  3. accepted rows append to the corpus table at `corpusDir`,
+    *  4. their band rows append to the index with the same bucket spec
+    *     ([[graft.dedup.Dedup.appendToBandIndex]]) — so batch N+1 dedups
+    *     against batch N, not just the seed corpus.
+    *
+    * Caller seeds `corpusDir` + `indexTable` from the initial corpus
+    * ([[graft.dedup.Dedup.writeBandIndex]]) before the first pass.
+    * foreachBatch is at-least-once under mid-batch failure (the standard
+    * caveat); an Iceberg/transactional sink would make steps 3-4 atomic. */
+  def startDedupedDocs(spark: SparkSession, docsDir: String, corpusDir: String,
+      checkpointDir: String, indexTable: String, threshold: Double): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.select(col("doc_id").cast("long"), col("text")).persist()
+        try {
+          val corpus = b.sparkSession.read.parquet(corpusDir)
+          val dupIds = graft.dedup.Dedup
+            .incrementalPairsIndexed(b, corpus, indexTable, threshold)
+            .select(col("doc_new").as("doc_id")).distinct()
+          val accepted = b.join(dupIds, Seq("doc_id"), "left_anti").persist()
+          accepted.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusDir)
+          graft.dedup.Dedup.appendToBandIndex(accepted, indexTable)
+          accepted.unpersist()
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** Convenience: drain every unseen document file once, deduplicated. */
+  def runOnceDedupedDocs(spark: SparkSession, docsDir: String, corpusDir: String,
+      checkpointDir: String, indexTable: String, threshold: Double): Unit = {
+    val q = startDedupedDocs(spark, docsDir, corpusDir, checkpointDir, indexTable, threshold)
+    q.awaitTermination()
+  }
 }
