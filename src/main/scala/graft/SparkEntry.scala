@@ -1322,6 +1322,20 @@ object SparkEntry {
       Ann.hardNegatives(emb, Ann.headLabeledQueries(emb, 20), k = 5)
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
+    "emb_hard_negatives_indexed" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // the same mining protocol run OFF THE STORED IVF INDEX: labels ride
+      // the index rows (written at build), probes prune list=<i>
+      // directories at the file index — the shape where the corpus is
+      // indexed once and mined per training epoch. Oracle re-derives the
+      // probed-candidate join from aux_ivf_lists/aux_ivf_probes + the
+      // different-label test.
+      val emb = t(dir, "embeddings")
+      val idx = freshTmpDir(s"graft_ivf_hn_${new java.io.File(dir).getName}")
+      Ann.buildIvfIndex(emb, idx)
+      Ann.hardNegativesIndexed(s, idx, Ann.headLabeledQueries(emb, 20), k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+    }),
     "emb_knn_lsh" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
@@ -2555,6 +2569,22 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
              ROW_NUMBER() OVER (PARTITION BY q.qid
                ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id ASC) AS rank
            FROM q, embeddings e
-           WHERE e.vec_id <> q.qid AND e.label <> q.ql) t WHERE rank <= 5"""
+           WHERE e.vec_id <> q.qid AND e.label <> q.ql) t WHERE rank <= 5""",
+    "emb_hard_negatives_indexed" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                    FROM embeddings ORDER BY vec_id LIMIT 20),
+              vl AS (SELECT vec_id, list FROM read_parquet('{OUT}/aux_ivf_lists/*.parquet')),
+              pl AS (SELECT query_id, probe_list FROM read_parquet('{OUT}/aux_ivf_probes/*.parquet')),
+              cand AS (SELECT DISTINCT pl.query_id, vl.vec_id
+                       FROM pl JOIN vl ON vl.list = pl.probe_list
+                       WHERE vl.vec_id <> pl.query_id),
+              scored AS (SELECT c.query_id, c.vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                             ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                      c.vec_id ASC) AS rank
+                         FROM cand c JOIN q ON q.qid = c.query_id
+                                     JOIN embeddings e ON e.vec_id = c.vec_id
+                         WHERE e.label <> q.ql)
+         SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5"""
   )
 }

@@ -102,14 +102,7 @@ object Ann {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = ivfCentroids(emb, nlist, sampleN, iters)
-    // same probed-list selection (and tie-break) as probeMap, label riding
-    val probes: Map[Int, Vector[(Long, Array[Float], Int)]] = queries.toVector
-      .flatMap { case q @ (_, qv, _) =>
-        cents.indices.map(ci => (TextOps.cosine(qv, cents(ci)), ci))
-          .sortBy { case (c, ci) => (-c, ci) }
-          .take(nProbe).map { case (_, ci) => (ci, q) }
-      }
-      .groupBy(_._1).map { case (ci, v) => (ci, v.map(_._2)) }
+    val probes = labeledProbeMap(cents, queries, nProbe)
     val bc = spark.sparkContext.broadcast(cents)
     val bp = spark.sparkContext.broadcast(probes)
     val partials = emb
@@ -251,6 +244,20 @@ object Ann {
       }
       .groupBy(_._1).map { case (ci, v) => (ci, v.map(_._2)) }
 
+  /** [[probeMap]] with the query's label riding along — THE probed-list
+    * selection of both hard-negative IVF paths (fused and indexed), so
+    * their candidate sets agree by construction. */
+  private def labeledProbeMap(cents: Array[Array[Float]],
+      queries: Array[(Long, Array[Float], Int)],
+      nProbe: Int): Map[Int, Vector[(Long, Array[Float], Int)]] =
+    queries.toVector
+      .flatMap { case q @ (_, qv, _) =>
+        cents.indices.map(ci => (TextOps.cosine(qv, cents(ci)), ci))
+          .sortBy { case (c, ci) => (-c, ci) }
+          .take(nProbe).map { case (_, ci) => (ci, q) }
+      }
+      .groupBy(_._1).map { case (ci, v) => (ci, v.map(_._2)) }
+
   /** Nearest-centroid assignment, identical tie-break to the fused scan in
     * [[ivfTopK]] (first index wins on equal cosine). */
   private def assign(cs: Array[Array[Float]], v: Array[Float]): Int = {
@@ -304,17 +311,70 @@ object Ann {
     import spark.implicits._
     val cents = ivfCentroids(emb, nlist, sampleN, iters)
     val bc = spark.sparkContext.broadcast(cents)
-    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, v) => (assign(cs, v), id, v) }
-      }
-      .toDF("list", "vec_id", "embedding")
-      .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/data")
+    // payload metadata (the label column, when the table carries one) rides
+    // the index rows, so downstream filtered searches — hard-negative
+    // mining's different-label test — run off the index alone
+    val data =
+      if (emb.columns.contains("label"))
+        emb.select(col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))
+          .as[(Long, Array[Float], Int)]
+          .mapPartitions { it =>
+            val cs = bc.value
+            it.map { case (id, v, label) => (assign(cs, v), id, v, label) }
+          }
+          .toDF("list", "vec_id", "embedding", "label")
+      else
+        emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            val cs = bc.value
+            it.map { case (id, v) => (assign(cs, v), id, v) }
+          }
+          .toDF("list", "vec_id", "embedding")
+    data.write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/data")
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
+
+  /** Hard-negative mining off the MATERIALIZED index — [[hardNegativesIvf]]
+    * run against the stored, partition-pruned lists instead of the fused
+    * scan: the probe prunes `list=<i>` directories at the file index
+    * (`PartitionFilters`, locked by `AnnIndexSpec`) and the different-label
+    * test applies inline on the index rows (labels were stored at build).
+    * Results are EXACTLY [[hardNegativesIvf]]'s on the same centroids
+    * (shared [[labeledProbeMap]]; spec-locked). */
+  def hardNegativesIndexed(spark: SparkSession, indexDir: String,
+      queries: Array[(Long, Array[Float], Int)], k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = readCentroids(spark, indexDir)
+    val probes = labeledProbeMap(cents, queries, nProbe)
+    val probedLists = probes.keys.toSeq.sorted
+    val bp = spark.sparkContext.broadcast(probes)
+    val partials = spark.read.parquet(s"$indexDir/data")
+      .filter(col("list").isin(probedLists: _*)) // prunes list=<i> directories
+      .select(col("list"), col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))
+      .as[(Int, Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val pm = bp.value
+        it.flatMap { case (list, id, v, label) =>
+          pm.getOrElse(list, Vector.empty).collect {
+            case (qid, qv, qLabel) if qid != id && label != qLabel =>
+              Scored(qid, id, TextOps.cosine(qv, v))
+          }
+        }
+      }
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    partials.toDF("query_id", "vec_id", "cosine")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The stored centroid table, list-ordered. */
+  private def readCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .select("list", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
 
   /** Probe a materialized IVF index: same results as [[ivfTopK]] with the
     * same parameters, but the candidate read is partition-pruned to the
@@ -322,10 +382,7 @@ object Ann {
   def ivfSearchIndex(spark: SparkSession, indexDir: String,
       queries: Array[(Long, Array[Float])], k: Int, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-      .select("list", "centroid").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val cents = readCentroids(spark, indexDir)
     val probes = probeMap(cents, queries, nProbe)
     val probedLists = probes.keys.toSeq.sorted
     val bp = spark.sparkContext.broadcast(probes)

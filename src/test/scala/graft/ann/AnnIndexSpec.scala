@@ -35,6 +35,43 @@ class AnnIndexSpec extends SparkTestBase {
     assert(indexed == fused)
   }
 
+  private def clusteredLabeled() = {
+    val sps = spark; import sps.implicits._
+    val centers = (0 until 10).map { c =>
+      val rng = Rng.at(77, c)
+      Array.fill(32)(rng.nextDouble() * 2 - 1)
+    }
+    val rows = (0 until 400).map { i =>
+      val c = i % 10
+      val rng = Rng.at(177, i)
+      val v = centers(c).map(x => (x + 0.08 * (rng.nextDouble() * 2 - 1)).toFloat)
+      (i.toLong, v, c % 3) // 3 labels, orthogonal-ish to clusters
+    }
+    spark.createDataset(rows).toDF("vec_id", "embedding", "label")
+  }
+
+  test("indexed hard negatives equal the fused IVF miner exactly, partition-pruned") {
+    val emb = clusteredLabeled()
+    val dir = Files.createTempDirectory("ivf_hn").toString
+    Ann.buildIvfIndex(emb, dir, nlist = 16) // labels ride the index rows
+    val queries = Ann.headLabeledQueries(emb, 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val fused = rows(Ann.hardNegativesIvf(emb, queries, 5, nlist = 16, nProbe = 4))
+    val indexed = rows(Ann.hardNegativesIndexed(spark, dir, queries, 5, nProbe = 4))
+    assert(indexed.nonEmpty && indexed == fused)
+    // every mined negative carries a different label than its query
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qLabels = queries.map { case (qid, _, l) => qid -> l }.toMap
+    indexed.foreach { case (qid, vid, _, _) => assert(labels(vid) != qLabels(qid)) }
+    // the mining scan is partition-pruned to the probed list directories
+    val plan = Ann.hardNegativesIndexed(spark, dir, queries.take(1), 3, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list"), plan)
+  }
+
   test("probe scan is partition-pruned to the probed lists") {
     val emb = clustered()
     val dir = Files.createTempDirectory("ivf").toString
