@@ -468,6 +468,22 @@ object SparkEntry {
         Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
       graft.operators.RandomWalks.walks(edges, steps = 4)
     }),
+    "kg_node2vec_walks" -> ((s, dir) => {
+      import s.implicits._
+      // node2vec-biased walk corpus (Grover & Leskovec: p=0.5 favors
+      // returns, q=2 favors staying near prev) over the SAME hub-capped
+      // co-mention graph as kg_random_walks — the standard DeepWalk→
+      // node2vec upgrade for KG embeddings; the oracle re-derives the
+      // 3-case bias in unrolled SQL, and p=q=1 reproduces kg_random_walks
+      // exactly (spec-locked)
+      val n = PagesSynth.pageCount(dir)
+      val mentions = KgPipeline.encodedTriples(s, n).toDF()
+        .filter(col("pred_id") === KgPipeline.PredMentions)
+        .select(col("page_id"), col("ent_id"))
+      val edges = Triangles.canonical(
+        Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
+      graft.operators.RandomWalks.node2vecWalks(edges, steps = 4, p = 0.5, q = 2.0)
+    }),
     "kg_walk_skipgrams" -> ((s, dir) => {
       import s.implicits._
       // the embedder's input: (center, context) pair counts within a
@@ -1703,21 +1719,25 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
     * kg_neg_samples, symmetrized, then every walk step unrolled — step t
     * picks the neighbor minimizing ((seed·40503 + t·69069 + v·97561) mod
     * 1000003, v), exactly [[graft.operators.RandomWalks]]' rule. */
+  // shared graph head of the walk oracles: co-mention edges (hub-capped),
+  // symmetrized, one walk seed per node
+  private val walkGraphHead =
+    """WITH m AS (SELECT DISTINCT page_id, ent_id
+                  FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+                  WHERE pred_id = 4),
+            l AS (SELECT page_id, ent_id FROM (
+                    SELECT page_id, ent_id,
+                           ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY ent_id) AS rn
+                    FROM m) WHERE rn <= 64),
+            e AS MATERIALIZED (
+                  SELECT DISTINCT a.ent_id AS src, b.ent_id AS dst
+                  FROM l a JOIN l b ON a.page_id = b.page_id AND a.ent_id < b.ent_id),
+            sym AS MATERIALIZED (
+                  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+            w0 AS MATERIALIZED (SELECT DISTINCT src AS seed, src AS node FROM sym)"""
+
   private def walkOracleSql(steps: Int): String = {
-    val head =
-      """WITH m AS (SELECT DISTINCT page_id, ent_id
-                    FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
-                    WHERE pred_id = 4),
-              l AS (SELECT page_id, ent_id FROM (
-                      SELECT page_id, ent_id,
-                             ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY ent_id) AS rn
-                      FROM m) WHERE rn <= 64),
-              e AS MATERIALIZED (
-                    SELECT DISTINCT a.ent_id AS src, b.ent_id AS dst
-                    FROM l a JOIN l b ON a.page_id = b.page_id AND a.ent_id < b.ent_id),
-              sym AS MATERIALIZED (
-                    SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
-              w0 AS MATERIALIZED (SELECT DISTINCT src AS seed, src AS node FROM sym)"""
+    val head = walkGraphHead
     val stepsSql = (1 to steps).map { t =>
       s"""w$t AS MATERIALIZED (SELECT seed, node FROM (
             SELECT w.seed, s.dst AS node,
@@ -1730,6 +1750,38 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
       s"SELECT CAST(seed AS BIGINT) AS seed, $t AS step, CAST(node AS BIGINT) AS node FROM w$t")
       .mkString("\nUNION ALL ")
     s"$head,\n$stepsSql,\nwalks AS ($union)\n"
+  }
+
+  /** The node2vec walk oracle: same graph head, the 3-case second-order
+    * bias re-derived per unrolled step — hash · (p·10⁶ | 10⁶ | q·10⁶) for
+    * return / prev-neighbor (LEFT JOIN flag) / distance-2 candidates. */
+  private def node2vecOracleSql(steps: Int, pM: Long, qM: Long): String = {
+    val step1 =
+      """w1 AS MATERIALIZED (SELECT seed, prev, node FROM (
+            SELECT w.seed, w.node AS prev, s.dst AS node,
+                   ROW_NUMBER() OVER (PARTITION BY w.seed ORDER BY
+                     (CAST(w.seed AS BIGINT) * 40503 + 1 * 69069
+                      + CAST(s.dst AS BIGINT) * 97561) % 1000003, s.dst) AS rn
+            FROM w0 w JOIN sym s ON w.node = s.src) WHERE rn = 1)"""
+    val rest = (2 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT seed, prev, node FROM (
+            SELECT c.seed, c.node AS prev, c.dst AS node,
+                   ROW_NUMBER() OVER (PARTITION BY c.seed ORDER BY c.hw, c.dst) AS rn
+            FROM (
+              SELECT w.seed, w.node, s.dst,
+                     ((CAST(w.seed AS BIGINT) * 40503 + $t * 69069
+                       + CAST(s.dst AS BIGINT) * 97561) % 1000003)
+                     * (CASE WHEN s.dst = w.prev THEN $pM
+                             WHEN d.src IS NOT NULL THEN 1000000
+                             ELSE $qM END) AS hw
+              FROM w${t - 1} w JOIN sym s ON w.node = s.src
+              LEFT JOIN sym d ON d.src = w.prev AND d.dst = s.dst
+            ) c) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val union = (0 to steps).map(t =>
+      s"SELECT CAST(seed AS BIGINT) AS seed, $t AS step, CAST(node AS BIGINT) AS node FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"$walkGraphHead,\n$step1,\n$rest,\nwalks AS ($union)\n"
   }
 
   def oracleSql: Map[String, String] = baseOracleSql +
@@ -1879,6 +1931,8 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                            WHERE t.src = LEAST(c.src, c.neg)
                              AND t.dst = GREATEST(c.src, c.neg))""",
     "kg_random_walks" -> (walkOracleSql(4) + "SELECT seed, step, node FROM walks"),
+    "kg_node2vec_walks" -> (node2vecOracleSql(4, pM = 500000L, qM = 2000000L) +
+      "SELECT seed, step, node FROM walks"),
     "kg_walk_skipgrams" -> (walkOracleSql(4) +
       """SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
          FROM walks a JOIN walks b

@@ -74,6 +74,64 @@ class RandomWalksSpec extends SparkTestBase {
     assert(salted == refWalks(pairs, 4, 1))
   }
 
+  /** node2vec rule re-derived independently: step 1 uniform; step t ≥ 2
+    * argmin of hash·mult with mult = p·10⁶ (return), 10⁶ (neighbor of
+    * prev), q·10⁶ (else); ties on v. */
+  private def refNode2vec(pairs: Seq[(Long, Long)], steps: Int, p: Double, q: Double,
+      round: Int): Set[(Long, Int, Long)] = {
+    val pM = math.round(p * 1e6); val qM = math.round(q * 1e6)
+    val symPairs = (pairs ++ pairs.map(x => (x._2, x._1))).distinct
+    val adj = symPairs.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val edgeSet = symPairs.toSet
+    def h(seed: Long, t: Int, v: Long) =
+      Math.floorMod(seed * 40503L + (t + round * 1000L) * 69069L + v * 97561L, 1000003L)
+    val out = Set.newBuilder[(Long, Int, Long)]
+    adj.keys.foreach { seed =>
+      var prev = seed
+      var node = seed
+      out += ((seed, 0, node))
+      if (steps >= 1) {
+        val n1 = adj(node).minBy(v => (h(seed, 1, v), v))
+        prev = node; node = n1
+        out += ((seed, 1, node))
+      }
+      (2 to steps).foreach { t =>
+        val nx = adj(node).minBy { v =>
+          val mult = if (v == prev) pM
+            else if (edgeSet((prev, v))) 1000000L else qM
+          (h(seed, t, v) * mult, v)
+        }
+        prev = node; node = nx
+        out += ((seed, t, node))
+      }
+    }
+    out.result()
+  }
+
+  test("node2vec with p = q = 1 reproduces the unbiased walks exactly") {
+    val rng = new scala.util.Random(5)
+    val pairs = (0 until 120).map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val df = edges(pairs: _*)
+    assert(collect(RandomWalks.node2vecWalks(df, steps = 5)) ==
+      collect(RandomWalks.walks(df, steps = 5)))
+  }
+
+  test("node2vec matches the independent reference and the bias changes paths") {
+    val rng = new scala.util.Random(13)
+    val pairs = (0 until 150).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val df = edges(pairs: _*)
+    val biased = collect(RandomWalks.node2vecWalks(df, steps = 6, p = 0.25, q = 4.0))
+    assert(biased == refNode2vec(pairs, 6, 0.25, 4.0, 0))
+    assert(biased != collect(RandomWalks.walks(df, steps = 6)),
+      "a strong return/in-out bias must change at least one path")
+    // partition invariance, like the unbiased walker
+    assert(collect(RandomWalks.node2vecWalks(df.repartition(7), steps = 6, p = 0.25, q = 4.0)) == biased)
+  }
+
   test("skip-gram pairs equal a local window expansion over the same walks") {
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 3L), (3L, 4L))
     val walks = RandomWalks.walks(edges(pairs: _*), steps = 5)
