@@ -1251,6 +1251,36 @@ object SparkEntry {
         .filter(col("rk") <= col("quota"))
         .select("doc_id", "lang", "quota")
     }),
+    "doc_mixture_upsample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // the other half of mT5 alpha-sampling: with the target budget ABOVE
+      // the corpus size (here 2x), low-resource languages' quotas EXCEED
+      // their doc counts and the sampler must repeat documents — each doc
+      // at rank rk (digest order, same as doc_mixture_sample) appears in
+      // full epochs 0..n_full-1 plus epoch n_full iff rk <= quota mod
+      // n_docs, so every language emits exactly `quota` rows and repeats
+      // are digest-deterministic at any parallelism. The ranking exchange
+      // carries (doc_id, lang, digest) — never text (curation discipline);
+      // quotas stay integer-exact (one IEEE sqrt per language).
+      val docs = t(dir, "documents")
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("d"))
+      val quotas = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+        .withColumn("w_tot", sum("w").over(Window.partitionBy()))
+        .withColumn("n_tot", sum("n_docs").over(Window.partitionBy()))
+        .select(col("lang"),
+          expr("((2 * n_tot * w) DIV w_tot) DIV n_docs").as("n_full"),
+          expr("((2 * n_tot * w) DIV w_tot) % n_docs").as("rem"))
+      docs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("d"), col("doc_id"))))
+        .join(quotas, "lang")
+        .withColumn("e_max",
+          expr("n_full + (CASE WHEN rk <= rem THEN 1 ELSE 0 END) - 1"))
+        .filter(col("e_max") >= 0) // sequence() must never see a negative bound
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(CAST(0 AS BIGINT), e_max)")).as("epoch"))
+    }),
     "doc_source_quota" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // per-source quota capping (boilerplate-farm control): keep the 20
@@ -1973,6 +2003,24 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                     FROM documents)
          SELECT r.doc_id, r.lang, q.quota
          FROM r JOIN q USING (lang) WHERE r.rk <= q.quota""",
+    "doc_mixture_upsample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+              w AS (SELECT lang, n_docs,
+                           CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w
+                    FROM c),
+              q AS (SELECT lang, n_docs,
+                           CAST((2 * (SELECT SUM(n_docs) FROM c) * w)
+                                // (SELECT SUM(w) FROM w) AS BIGINT) AS quota
+                    FROM w),
+              r AS (SELECT doc_id, lang,
+                           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+                    FROM documents),
+              j AS (SELECT r.doc_id, r.lang, r.rk,
+                           q.quota // q.n_docs AS n_full, q.quota % q.n_docs AS rem
+                    FROM r JOIN q USING (lang))
+         SELECT doc_id, lang,
+                CAST(unnest(range(0, n_full + CASE WHEN rk <= rem THEN 1 ELSE 0 END)) AS BIGINT) AS epoch
+         FROM j""",
     "doc_source_quota" ->
       """SELECT doc_id, source, rn FROM (
            SELECT doc_id, source,
