@@ -484,6 +484,103 @@ object SparkEntry {
         Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
       graft.operators.RandomWalks.node2vecWalks(edges, steps = 4, p = 0.5, q = 2.0)
     }),
+    "kg_fuzzy_link" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // typo-robust entity linking: every alias (len >= 4) corrupted by
+      // deleting its middle character, then resolved back through SymSpell
+      // deletion-neighborhood blocking + exact levenshtein verification
+      // (equi-join blocking with recall 1.0 at distance 1 — property-locked
+      // by FuzzyLinkSpec); top-1 per corrupted surface on the
+      // (lev, prior DESC, iri, alias) total order
+      val aliases = PagesSynth.aliases(s).toDF()
+      val corrupted = aliases.select(col("alias_norm")).distinct()
+        .filter(length(col("alias_norm")) >= 4)
+        .select(expr(
+          "concat(substr(alias_norm, 1, length(alias_norm) DIV 2 - 1), " +
+            "substr(alias_norm, length(alias_norm) DIV 2 + 1))").as("surface"))
+        .distinct()
+      graft.link.FuzzyLink.resolve(corrupted, aliases)
+    }),
+    "kg_link_prediction" -> ((s, dir) => {
+      import s.implicits._
+      // missing-link candidates over the co-mention graph: top 50 non-edge
+      // pairs by common-neighbor count (the KG-completion baseline) — the
+      // wedge expansion reuses the hub-capped groupedPairs discipline, the
+      // top-k plans as TakeOrderedAndProject
+      val n = PagesSynth.pageCount(dir)
+      val mentions = KgPipeline.encodedTriples(s, n).toDF()
+        .filter(col("pred_id") === KgPipeline.PredMentions)
+        .select(col("page_id"), col("ent_id"))
+      val edges = Triangles.canonical(
+        Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
+        .select(col("src").cast("long"), col("dst").cast("long"))
+      graft.operators.LinkPredict.commonNeighbors(edges, CoMentionHubCap, k = 50)
+    }),
+    "kg_triple_split" -> ((s, dir) => {
+      import s.implicits._
+      // KG-embedding eval protocol (the TransE-family standard): edges
+      // split 80/10/10 by content digest, then valid/test edges with an
+      // endpoint UNSEEN in train are dropped — a model cannot rank an
+      // entity it never trained on, and leaving them in corrupts the metric
+      val n = PagesSynth.pageCount(dir)
+      val mentions = KgPipeline.encodedTriples(s, n).toDF()
+        .filter(col("pred_id") === KgPipeline.PredMentions)
+        .select(col("page_id"), col("ent_id"))
+      val edges = Triangles.canonical(
+        Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
+        .select(col("src").cast("long"), col("dst").cast("long"))
+      val dg = md5(concat(col("src").cast("string"), lit(":"), col("dst").cast("string")))
+      val withSplit = edges
+        .withColumn("bkt",
+          (ascii(substring(dg, 1, 1)) * 256 + ascii(substring(dg, 2, 1))) % 100)
+        .withColumn("split",
+          when(col("bkt") < 80, "train").when(col("bkt") < 90, "valid").otherwise("test"))
+        .select("src", "dst", "split")
+        .localCheckpoint() // referenced three times below
+      val trainEnts = withSplit.filter(col("split") === "train")
+        .select(explode(array(col("src"), col("dst"))).as("ent")).distinct()
+      withSplit.filter(col("split") === "train").unionAll(
+        withSplit.filter(col("split") =!= "train")
+          .join(trainEnts.withColumnRenamed("ent", "src"), Seq("src"), "left_semi")
+          .join(trainEnts.withColumnRenamed("ent", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst", "split"))
+    }),
+    "kg_mention_contexts" -> ((s, dir) => {
+      import s.implicits._
+      // NER/entity-linking training-data extraction: a ±20-char context
+      // window around every detected mention, emitted INLINE in the same
+      // narrow detection pass (the text is already in hand — no join, no
+      // shuffle ships the corpus); the oracle re-derives the windows by
+      // joining the mention and text dumps
+      val ext = KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir)))
+      val bc = s.sparkContext.broadcast(MentionDetect.buildDictionary(PagesSynth.aliasMap.keys))
+      ext.mapPartitions { it =>
+        val dict = bc.value
+        it.flatMap { p =>
+          MentionDetect.detect(p.url, p.text, dict).iterator.map { mn =>
+            val from = math.max(0, mn.span_start - 20)
+            val to = math.min(p.text.length, mn.span_end + 20)
+            (p.url, mn.span_start, p.text.substring(from, to))
+          }
+        }
+      }.toDF("url", "span_start", "context")
+    }),
+    "doc_trigram_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // corpus-wide token trigram counts with min-count pruning (the KenLM
+      // n-gram-table prep, one order up from doc_bigram_freq_stats): one
+      // explode + one count agg + TakeOrderedAndProject under the
+      // (freq DESC, trigram) total order
+      t(dir, "documents")
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3) // sequence() must never see a negative bound
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+          .as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 2) // count pruning: singleton tails stay out of the table
+        .orderBy(desc("freq"), asc("trigram")).limit(100)
+    }),
     "kg_walk_skipgrams" -> ((s, dir) => {
       import s.implicits._
       // the embedder's input: (center, context) pair counts within a
@@ -1516,7 +1613,7 @@ object SparkEntry {
     // recomputes against the emission contract
     "aux_extracted" -> ((s, dir) =>
       KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir)))
-        .toDF().select(col("url"), col("lang"), col("extract_ok"))),
+        .toDF().select(col("url"), col("lang"), col("extract_ok"), col("text"))),
     "aux_links" -> ((s, dir) =>
       KgPipeline.links(
         KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir))),
@@ -1963,6 +2060,82 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
     "kg_random_walks" -> (walkOracleSql(4) + "SELECT seed, step, node FROM walks"),
     "kg_node2vec_walks" -> (node2vecOracleSql(4, pM = 500000L, qM = 2000000L) +
       "SELECT seed, step, node FROM walks"),
+    "kg_fuzzy_link" ->
+      """WITH al AS (SELECT alias_norm, entity_iri, prior
+                     FROM read_parquet('{OUT}/aux_aliases/*.parquet')),
+              an AS (SELECT DISTINCT alias_norm FROM al),
+              best AS (SELECT alias_norm, entity_iri, prior FROM (
+                         SELECT alias_norm, entity_iri, prior,
+                                ROW_NUMBER() OVER (PARTITION BY alias_norm
+                                  ORDER BY prior DESC, entity_iri) AS rn
+                         FROM al) WHERE rn = 1),
+              s AS (SELECT DISTINCT
+                      substr(alias_norm, 1, length(alias_norm) // 2 - 1)
+                        || substr(alias_norm, length(alias_norm) // 2 + 1) AS surface
+                    FROM an WHERE length(alias_norm) >= 4),
+              sk AS (SELECT surface, surface AS k FROM s
+                     UNION
+                     SELECT surface, substr(surface, 1, i - 1) || substr(surface, i + 1) AS k
+                     FROM (SELECT surface, unnest(range(1, length(surface) + 1)) AS i FROM s)),
+              ak AS (SELECT alias_norm, alias_norm AS k FROM an
+                     UNION
+                     SELECT alias_norm, substr(alias_norm, 1, i - 1) || substr(alias_norm, i + 1) AS k
+                     FROM (SELECT alias_norm, unnest(range(1, length(alias_norm) + 1)) AS i FROM an)),
+              cand AS (SELECT DISTINCT sk.surface, ak.alias_norm
+                       FROM sk JOIN ak USING (k)),
+              v AS (SELECT surface, alias_norm,
+                           CAST(levenshtein(surface, alias_norm) AS BIGINT) AS lev
+                    FROM cand WHERE levenshtein(surface, alias_norm) <= 1),
+              r AS (SELECT v.surface, v.alias_norm, b.entity_iri, v.lev,
+                           ROW_NUMBER() OVER (PARTITION BY v.surface
+                             ORDER BY v.lev, b.prior DESC, b.entity_iri, v.alias_norm) AS rn
+                    FROM v JOIN best b USING (alias_norm))
+         SELECT surface, alias_norm, entity_iri, lev FROM r WHERE rn = 1""",
+    "kg_link_prediction" -> (walkGraphHead +
+      """, adj AS (SELECT src, dst FROM (
+               SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+               FROM sym) WHERE rn <= 64),
+            wedge AS (SELECT a.dst AS src, b.dst AS dst
+                      FROM adj a JOIN adj b ON a.src = b.src AND a.dst < b.dst),
+            cn AS (SELECT src, dst, COUNT(*) AS n_common FROM wedge GROUP BY 1, 2),
+            cand AS (SELECT cn.src, cn.dst, cn.n_common
+                     FROM cn LEFT JOIN e ON e.src = cn.src AND e.dst = cn.dst
+                     WHERE e.src IS NULL)
+         SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+                CAST(n_common AS BIGINT) AS n_common
+         FROM cand ORDER BY n_common DESC, src, dst LIMIT 50"""),
+    "kg_triple_split" -> (walkGraphHead +
+      """, sp AS (SELECT src, dst,
+                CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'valid'
+                     ELSE 'test' END AS split
+              FROM (SELECT src, dst,
+                      (ascii(substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 1)) * 256
+                       + ascii(substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 2, 1))) % 100 AS bkt
+                    FROM e)),
+            te AS (SELECT DISTINCT src AS ent FROM sp WHERE split = 'train'
+                   UNION
+                   SELECT DISTINCT dst AS ent FROM sp WHERE split = 'train')
+         SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, split
+         FROM sp
+         WHERE split = 'train'
+            OR (src IN (SELECT ent FROM te) AND dst IN (SELECT ent FROM te))"""),
+    "kg_mention_contexts" ->
+      """WITH m AS (SELECT url, span_start, span_end
+                    FROM read_parquet('{OUT}/aux_mentions/*.parquet')),
+              x AS (SELECT url, text FROM read_parquet('{OUT}/aux_extracted/*.parquet'))
+         SELECT m.url, m.span_start,
+                substr(x.text, greatest(0, m.span_start - 20) + 1,
+                       least(length(x.text), m.span_end + 20)
+                         - greatest(0, m.span_start - 20)) AS context
+         FROM m JOIN x USING (url)""",
+    "doc_trigram_topk" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ws
+                       FROM documents WHERE len(string_split(text, ' ')) >= 3),
+              ix AS (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM toks),
+              tg AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS trigram FROM ix),
+              freq AS (SELECT trigram, CAST(COUNT(*) AS BIGINT) AS freq
+                       FROM tg GROUP BY 1 HAVING COUNT(*) >= 2)
+         SELECT trigram, freq FROM freq ORDER BY freq DESC, trigram LIMIT 100""",
     "kg_walk_skipgrams" -> (walkOracleSql(4) +
       """SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
          FROM walks a JOIN walks b
