@@ -516,6 +516,20 @@ object SparkEntry {
         .select(col("src").cast("long"), col("dst").cast("long"))
       graft.operators.LinkPredict.commonNeighbors(edges, CoMentionHubCap, k = 50)
     }),
+    "kg_link_prediction_ra" -> ((s, dir) => {
+      import s.implicits._
+      // resource-allocation variant (Zhou et al.): common neighbors
+      // weighted 1/deg as the integer micro-weight 10^12 DIV deg —
+      // low-degree bridges outrank hubs, arithmetic engine-exact
+      val n = PagesSynth.pageCount(dir)
+      val mentions = KgPipeline.encodedTriples(s, n).toDF()
+        .filter(col("pred_id") === KgPipeline.PredMentions)
+        .select(col("page_id"), col("ent_id"))
+      val edges = Triangles.canonical(
+        Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
+        .select(col("src").cast("long"), col("dst").cast("long"))
+      graft.operators.LinkPredict.resourceAllocation(edges, CoMentionHubCap, k = 50)
+    }),
     "kg_triple_split" -> ((s, dir) => {
       import s.implicits._
       // KG-embedding eval protocol (the TransE-family standard): edges
@@ -2104,6 +2118,22 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
          SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
                 CAST(n_common AS BIGINT) AS n_common
          FROM cand ORDER BY n_common DESC, src, dst LIMIT 50"""),
+    "kg_link_prediction_ra" -> (walkGraphHead +
+      """, deg AS (SELECT src AS z, COUNT(*) AS deg FROM sym GROUP BY 1),
+            adj AS (SELECT src, dst FROM (
+               SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+               FROM sym) WHERE rn <= 64),
+            wedge AS (SELECT a.src AS z, a.dst AS u, b.dst AS v
+                      FROM adj a JOIN adj b ON a.src = b.src AND a.dst < b.dst),
+            ww AS (SELECT w.u, w.v, CAST(1000000000000 // d.deg AS BIGINT) AS wt
+                   FROM wedge w JOIN deg d ON d.z = w.z),
+            ra AS (SELECT u AS src, v AS dst, CAST(SUM(wt) AS BIGINT) AS ra_micro
+                   FROM ww GROUP BY 1, 2),
+            cand AS (SELECT ra.src, ra.dst, ra.ra_micro
+                     FROM ra LEFT JOIN e ON e.src = ra.src AND e.dst = ra.dst
+                     WHERE e.src IS NULL)
+         SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, ra_micro
+         FROM cand ORDER BY ra_micro DESC, src, dst LIMIT 50"""),
     "kg_triple_split" -> (walkGraphHead +
       """, sp AS (SELECT src, dst,
                 CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'valid'

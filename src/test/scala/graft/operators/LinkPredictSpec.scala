@@ -41,6 +41,26 @@ class LinkPredictSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("resource-allocation index matches a local brute force, micro-weight exact") {
+    val rng = new scala.util.Random(29)
+    val pairs = (0 until 200).map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val edgeSet = pairs.toSet
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && !edgeSet((a, b))
+      common = adj(a).intersect(adj(b)) if common.nonEmpty
+      w = common.toSeq.map(z => 1000000000000L / adj(z).size).sum
+    } yield (a, b, w))
+      .sortBy { case (a, b, w) => (-w, a, b) }.take(20)
+    val got = collect(LinkPredict.resourceAllocation(edges(pairs: _*), 64, 20))
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("the hub cap bounds wedge fan-out") {
     // star: node 0 adjacent to 1..100 — with cap 10, wedges through hub 0
     // come from its first 10 neighbors only: C(10,2) candidate pairs
