@@ -516,6 +516,22 @@ object SparkEntry {
         .select(col("src").cast("long"), col("dst").cast("long"))
       graft.operators.LinkPredict.commonNeighbors(edges, CoMentionHubCap, k = 50)
     }),
+    "kg_sameas_canonical" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // entity canonicalization (the north rule's IRI-canonicalization
+      // stage, cluster form): entities sharing a surface alias are
+      // owl:sameAs candidates; the transitive closure (Dedup.components —
+      // the shared min-label machinery) collapses each cluster onto its
+      // lexicographically-least IRI. Only entities with at least one
+      // sameAs peer appear (singletons already ARE canonical). Pair
+      // expansion rides the hub-capped groupedPairs discipline, so one
+      // pathological alias shared by 10^4 entities cannot quadratic-blow
+      val pairs = Triangles.groupedPairs(
+        PagesSynth.aliases(s).toDF().select(col("alias_norm"), col("entity_iri")),
+        "alias_norm", "entity_iri", CoMentionHubCap)
+      graft.dedup.Dedup.components(pairs, "src", "dst")
+        .select(col("id").as("entity_iri"), col("component").as("canonical"))
+    }),
     "kg_link_prediction_ra" -> ((s, dir) => {
       import s.implicits._
       // resource-allocation variant (Zhou et al.): common neighbors
@@ -2118,6 +2134,21 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
          SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
                 CAST(n_common AS BIGINT) AS n_common
          FROM cand ORDER BY n_common DESC, src, dst LIMIT 50"""),
+    "kg_sameas_canonical" ->
+      """WITH RECURSIVE
+         al AS (SELECT DISTINCT alias_norm, entity_iri
+                FROM read_parquet('{OUT}/aux_aliases/*.parquet')),
+         cap AS (SELECT alias_norm, entity_iri FROM (
+                   SELECT alias_norm, entity_iri,
+                          ROW_NUMBER() OVER (PARTITION BY alias_norm ORDER BY entity_iri) AS rn
+                   FROM al) WHERE rn <= 64),
+         p AS (SELECT DISTINCT a.entity_iri AS src, b.entity_iri AS dst
+               FROM cap a JOIN cap b
+                 ON a.alias_norm = b.alias_norm AND a.entity_iri < b.entity_iri),
+         sym AS (SELECT src AS a, dst AS b FROM p UNION SELECT dst, src FROM p),
+         r(x, y) AS (SELECT a, b FROM sym
+                     UNION SELECT r.x, sym.b FROM r JOIN sym ON r.y = sym.a)
+         SELECT x AS entity_iri, LEAST(x, MIN(y)) AS canonical FROM r GROUP BY x""",
     "kg_link_prediction_ra" -> (walkGraphHead +
       """, deg AS (SELECT src AS z, COUNT(*) AS deg FROM sym GROUP BY 1),
             adj AS (SELECT src, dst FROM (
