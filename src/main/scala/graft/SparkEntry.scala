@@ -1378,6 +1378,30 @@ object SparkEntry {
         .filter(col("rk") <= col("quota"))
         .select("doc_id", "lang", "quota")
     }),
+    "doc_shuffle_global" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // deterministic global training-order shuffle: every doc gets its
+      // 1-based position in the (md5(text), doc_id) total order —
+      // rerun-stable at any parallelism (never rand()), and a different
+      // epoch salt would just prepend to the digest. Scale shape: the
+      // hierarchical two-phase rank (the doc_pack_shards discipline,
+      // corpus-wide): docs rank WITHIN their 256 digest-prefix blocks
+      // (bounded partitions), the only unpartitioned window runs over the
+      // 256-row block-subtotal aggregate — no single task ever sorts the
+      // corpus (plan-locked)
+      val d = t(dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("dg"))
+        .withColumn("blk", substring(col("dg"), 1, 2))
+      val offsets = d.groupBy("blk").agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(
+          sum("n").over(Window.orderBy("blk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("blk", "offset")
+      d.withColumn("rk", row_number().over(
+          Window.partitionBy("blk").orderBy(col("dg"), col("doc_id"))))
+        .join(offsets, "blk")
+        .select(col("doc_id"), (col("offset") + col("rk")).as("pos"))
+    }),
     "doc_mixture_upsample" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // the other half of mT5 alpha-sampling: with the target budget ABOVE
@@ -2237,6 +2261,9 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                     FROM documents)
          SELECT r.doc_id, r.lang, q.quota
          FROM r JOIN q USING (lang) WHERE r.rk <= q.quota""",
+    "doc_shuffle_global" ->
+      """SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) AS pos
+         FROM documents""",
     "doc_mixture_upsample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
               w AS (SELECT lang, n_docs,

@@ -196,6 +196,30 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("url") && !plan.contains("iri,"), plan)
   }
 
+  test("doc_shuffle_global never globally sorts the document stream (two-phase rank)") {
+    val plan = SparkEntry.queries("doc_shuffle_global")(spark, sfDir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, plan.toString)
+    windows.foreach { w =>
+      if (w.partitionSpec.isEmpty) {
+        // the only unpartitioned window runs over the 256-row block
+        // subtotals — its subtree must contain the aggregation, never the
+        // raw document stream
+        val hasAgg = w.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        }.nonEmpty
+        assert(hasAgg, s"unpartitioned window consumes the raw document stream:\n$w")
+      }
+    }
+    // and the document-stream window is keyed by the digest block
+    assert(windows.exists(_.partitionSpec.nonEmpty), plan.toString)
+  }
+
   test("kg_link_relational's alias join is broadcast by AQE choice, not a hint") {
     val df = SparkEntry.queries("kg_link_relational")(spark, sfDir)
     // no hint anywhere in the logical plan: the strategy must be the
