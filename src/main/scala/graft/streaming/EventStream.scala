@@ -146,6 +146,47 @@ object EventStream {
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming per-group heavy hitters — the Misra–Gries sketch as live
+    * state ([[graft.functions.MisraGriesAgg]]'s guarantee, continuously):
+    * each group key holds a ≤ `k`-entry (item, weight) map; every
+    * micro-batch folds its rows in (hit +1 / free slot / decrement-all)
+    * and emits the group's CURRENT candidate set (update mode). The MG
+    * invariant — any item with true count > n/(k+1) is present — holds at
+    * every emission regardless of arrival order, so a downstream exact
+    * count over the candidates makes the output exact, exactly like the
+    * batch operator. State is O(k) per group forever — the bounded-state
+    * discipline every streaming operator here follows. */
+  class HeavyHittersProcessor(k: Int)
+      extends StatefulProcessor[String, (String, String), (String, String, Long)] {
+    @transient private var sketch: ValueState[Map[String, Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sketch = getHandle.getValueState[Map[String, Long]]("sketch",
+        org.apache.spark.sql.Encoders.kryo[Map[String, Long]], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+        timers: TimerValues): Iterator[(String, String, Long)] = {
+      var m = if (sketch.exists()) sketch.get() else Map.empty[String, Long]
+      rows.foreach { case (_, item) =>
+        m.get(item) match {
+          case Some(c) => m = m.updated(item, c + 1)
+          case None if m.size < k => m = m.updated(item, 1L)
+          case None =>
+            m = m.iterator.map { case (i, c) => (i, c - 1) }
+              .filter(_._2 > 0).toMap
+        }
+      }
+      sketch.update(m)
+      m.iterator.map { case (item, w) => (key, item, w) }
+    }
+  }
+
+  /** Live heavy-hitter candidates per group over a (group, item) stream. */
+  def heavyHitters(events: Dataset[(String, String)], k: Int)(
+      implicit spark: SparkSession): Dataset[(String, String, Long)] = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new HeavyHittersProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
   final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
   final case class ClosedSession(user_id: Long, s_start: java.sql.Timestamp,
       s_end: java.sql.Timestamp, n_events: Long)

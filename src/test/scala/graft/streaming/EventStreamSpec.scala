@@ -300,4 +300,49 @@ class EventStreamSpec extends SparkTestBase {
     assert(byBatch.toSet.contains((1L, 2L)) && byBatch.toSet.contains((1L, 3L)),
       "both the batch-1 partial and the batch-2 updated total were emitted")
   }
+
+  test("streaming Misra-Gries heavy hitters: MG guarantee, bounded state, cross-batch carry") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val sq = spark.sqlContext
+    implicit val sqc: org.apache.spark.sql.SQLContext = sq
+    import sq.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, String)]
+      val q = EventStream.heavyHitters(input.toDS(), k = 3)
+        .writeStream.format("memory").queryName("hh")
+        .outputMode(EventStream.updateMode).start()
+      // batch 1: A is heavy (6 of 9); with k=3 the worst-case decrement
+      // schedule still leaves A with weight >= 3
+      input.addData(Seq.fill(6)(("g", "A")) ++ Seq(("g", "B"), ("g", "C"), ("g", "D")): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("hh").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toMap
+      // batch 2: A sees only 2 more rows — its final weight must exceed
+      // what batch 2 alone could produce (proves RocksDB state carried)
+      input.addData(Seq.fill(2)(("g", "A")) ++ Seq(("g", "E"), ("g", "D"), ("g", "D")): _*)
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("hh").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(all.forall(_._1 == "g"))
+      // each emission is the group's current candidate set: <= k rows each
+      assert(all.length <= 6, all.mkString("; "))
+      assert(afterB1.size <= 3 && afterB1.contains("A") && afterB1("A") >= 3L)
+      // final emission = rows beyond batch 1's
+      val finalRows = all.drop(afterB1.size).map(r => (r._2, r._3)).toMap
+      assert(finalRows.size <= 3)
+      // MG guarantee: total n = 14, threshold n/(k+1) = 3.5 -> A (8) must
+      // be a candidate at the end, with cross-batch weight > 2
+      assert(finalRows.contains("A") && finalRows("A") > 2L,
+        s"state did not carry across batches: $finalRows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
