@@ -46,12 +46,42 @@ object FuzzyLink {
     * alias first, and the join strategy is left to AQE. Output:
     * (surface, alias_norm, entity_iri, lev). */
   def resolve(surfaces: DataFrame, aliases: DataFrame): DataFrame = {
-    val sk = withDel1Keys(surfaces.select(col("surface")).distinct(), "surface")
-      .select(col("surface"), col("__k"))
     val ak = withDel1Keys(
       aliases.select(col("alias_norm")).distinct(), "alias_norm")
       .select(col("alias_norm"), col("__k"))
-    val cands = sk.join(ak, "__k")
+    resolveAgainstKeys(surfaces, ak, aliases)
+  }
+
+  /** Materialize the alias-side deletion-key index as a `__k`-bucketed,
+    * sorted table — the dictionary's expansion is paid ONCE per dictionary
+    * instead of once per mention batch, and the bucketed layout
+    * pre-shuffles the index on the join key so each batch's candidate join
+    * reads it exchange-free (only the surface side shuffles —
+    * `FuzzyLinkSpec` locks the plan). The same stored-index economics as
+    * `Dedup.writeBandIndex` and `Ann.buildIvfIndex`. */
+  def writeAliasIndex(aliases: DataFrame, table: String, buckets: Int = 16): Unit =
+    withDel1Keys(aliases.select(col("alias_norm")).distinct(), "alias_norm")
+      .select(col("alias_norm"), col("__k"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, "__k")
+      .sortBy("__k", "alias_norm")
+      .saveAsTable(table)
+
+  /** [[resolve]] against a stored [[writeAliasIndex]] table: identical
+    * output (spec-locked), candidate join consumes the index's bucketing.
+    * `aliases` still supplies (alias_norm, entity_iri, prior) for the
+    * best-candidate ranking — at scale that side reduces to O(|aliases|)
+    * before joining only the verified candidates. */
+  def resolveIndexed(surfaces: DataFrame, aliases: DataFrame, indexTable: String): DataFrame =
+    resolveAgainstKeys(surfaces, surfaces.sparkSession.table(indexTable), aliases)
+
+  private def resolveAgainstKeys(surfaces: DataFrame, aliasKeys: DataFrame,
+      aliases: DataFrame): DataFrame = {
+    val sk = withDel1Keys(surfaces.select(col("surface")).distinct(), "surface")
+      .select(col("surface"), col("__k"))
+    val cands = sk.join(aliasKeys, "__k")
       .select(col("surface"), col("alias_norm")).distinct()
       .withColumn("lev", levenshtein(col("surface"), col("alias_norm")).cast("long"))
       .filter(col("lev") <= 1)

@@ -71,6 +71,37 @@ class FuzzyLinkSpec extends SparkTestBase {
     assert(!got.contains("osaka") && got.size == 5)
   }
 
+  test("stored alias index: identical output, candidate join consumes the bucketing") {
+    val sps = spark; import sps.implicits._
+    val rng = new scala.util.Random(19)
+    val alpha = "abcde"
+    val aliases = (0 until 80).map { i =>
+      val a = (0 until (3 + rng.nextInt(6))).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      (a, s"ent:e$i", rng.nextInt(100) / 100.0)
+    }
+    val surfaces = aliases.map(_._1).distinct.map(a => a.substring(0, a.length - 1))
+      .filter(_.nonEmpty)
+    val sd = surfaces.toDF("surface"); val ad = aliases.toDF("alias_norm", "entity_iri", "prior")
+    graft.util.Warehouse.dropTable(spark, "fuzzy_alias_index")
+    FuzzyLink.writeAliasIndex(ad, "fuzzy_alias_index", buckets = 4)
+    val direct = FuzzyLink.resolve(sd, ad).collect().map(_.toString).sorted.toSeq
+    val indexed = FuzzyLink.resolveIndexed(sd, ad, "fuzzy_alias_index")
+      .collect().map(_.toString).sorted.toSeq
+    assert(indexed.nonEmpty && indexed == direct)
+    // plan lock: exactly one __k exchange (the surface side) — the index's
+    // bucketing satisfies the join distribution
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = FuzzyLink.resolveIndexed(sd, ad, "fuzzy_alias_index")
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(__k".r.findAllIn(plan).size == 1, plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("resolution is partition-invariant") {
     val sps = spark; import sps.implicits._
     val rng = new scala.util.Random(7)
