@@ -484,6 +484,40 @@ object SparkEntry {
         Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
       graft.operators.RandomWalks.node2vecWalks(edges, steps = 4, p = 0.5, q = 2.0)
     }),
+    "kg_node2vec_skipgrams" -> ((s, dir) => {
+      import s.implicits._
+      // the node2vec training corpus end-to-end: biased walks -> (center,
+      // context) pair counts in a ±2 window — what actually feeds the
+      // embedder; shares skipGrams with the DeepWalk path, the oracle
+      // re-derives the biased walks then the window self-join
+      val n = PagesSynth.pageCount(dir)
+      val mentions = KgPipeline.encodedTriples(s, n).toDF()
+        .filter(col("pred_id") === KgPipeline.PredMentions)
+        .select(col("page_id"), col("ent_id"))
+      val edges = Triangles.canonical(
+        Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
+      graft.operators.RandomWalks.skipGrams(
+        graft.operators.RandomWalks.node2vecWalks(edges, steps = 4, p = 0.5, q = 2.0),
+        window = 2)
+    }),
+    "kg_fuzzy_link_indexed" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // the SAME resolution as kg_fuzzy_link, run against the STORED
+      // deletion-key alias index (expansion paid once per dictionary,
+      // candidate join consumes the bucketing exchange-free — spec-locked);
+      // identical output, so the two queries share one oracle
+      val aliases = PagesSynth.aliases(s).toDF()
+      val corrupted = aliases.select(col("alias_norm")).distinct()
+        .filter(length(col("alias_norm")) >= 4)
+        .select(expr(
+          "concat(substr(alias_norm, 1, length(alias_norm) DIV 2 - 1), " +
+            "substr(alias_norm, length(alias_norm) DIV 2 + 1))").as("surface"))
+        .distinct()
+      val table = "graft_fuzzy_alias_index"
+      graft.util.Warehouse.dropTable(s, table)
+      graft.link.FuzzyLink.writeAliasIndex(aliases, table)
+      graft.link.FuzzyLink.resolveIndexed(corrupted, aliases, table)
+    }),
     "kg_fuzzy_link" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // typo-robust entity linking: every alias (len >= 4) corrupted by
@@ -1977,7 +2011,10 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
     ("cj_triples_by_pred_dsv2" -> baseOracleSql("cj_triples_by_pred")) +
     // VariantType access is a faster PATH to the same values as
     // get_json_object — identical output, one oracle
-    ("ev_props_variant" -> baseOracleSql("ev_props_json"))
+    ("ev_props_variant" -> baseOracleSql("ev_props_json")) +
+    // the stored deletion-key index is a faster PATH to the same fuzzy
+    // resolution (spec-locked identical) — one oracle for both
+    ("kg_fuzzy_link_indexed" -> baseOracleSql("kg_fuzzy_link"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "kg_pagerank" -> pagerankOracleSql(5),
@@ -2114,6 +2151,11 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
     "kg_random_walks" -> (walkOracleSql(4) + "SELECT seed, step, node FROM walks"),
     "kg_node2vec_walks" -> (node2vecOracleSql(4, pM = 500000L, qM = 2000000L) +
       "SELECT seed, step, node FROM walks"),
+    "kg_node2vec_skipgrams" -> (node2vecOracleSql(4, pM = 500000L, qM = 2000000L) +
+      """SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
+         FROM walks a JOIN walks b
+           ON a.seed = b.seed AND a.step <> b.step AND ABS(a.step - b.step) <= 2
+         GROUP BY 1, 2"""),
     "kg_fuzzy_link" ->
       """WITH al AS (SELECT alias_norm, entity_iri, prior
                      FROM read_parquet('{OUT}/aux_aliases/*.parquet')),
