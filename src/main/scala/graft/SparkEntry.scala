@@ -545,8 +545,10 @@ object SparkEntry {
       val mentions = KgPipeline.encodedTriples(s, n).toDF()
         .filter(col("pred_id") === KgPipeline.PredMentions)
         .select(col("page_id"), col("ent_id"))
-      val edges = Triangles.canonical(
-        Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
+      // no call-site canonical: LinkPredict owns canonicalization (the
+      // Triangles.count convention) — a second distinct() here would just
+      // double the shuffle
+      val edges = Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap)
         .select(col("src").cast("long"), col("dst").cast("long"))
       graft.operators.LinkPredict.commonNeighbors(edges, CoMentionHubCap, k = 50)
     }),
@@ -575,8 +577,7 @@ object SparkEntry {
       val mentions = KgPipeline.encodedTriples(s, n).toDF()
         .filter(col("pred_id") === KgPipeline.PredMentions)
         .select(col("page_id"), col("ent_id"))
-      val edges = Triangles.canonical(
-        Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap))
+      val edges = Triangles.groupedPairs(mentions, "page_id", "ent_id", CoMentionHubCap)
         .select(col("src").cast("long"), col("dst").cast("long"))
       graft.operators.LinkPredict.resourceAllocation(edges, CoMentionHubCap, k = 50)
     }),
@@ -621,10 +622,17 @@ object SparkEntry {
       ext.mapPartitions { it =>
         val dict = bc.value
         it.flatMap { p =>
+          // window arithmetic in CODE POINTS (the oracle's substr units) —
+          // UTF-16 charAt windows would desync on any supplementary-plane
+          // character, the exact bug class the BPE pair query fixed
+          val total = p.text.codePointCount(0, p.text.length)
           MentionDetect.detect(p.url, p.text, dict).iterator.map { mn =>
-            val from = math.max(0, mn.span_start - 20)
-            val to = math.min(p.text.length, mn.span_end + 20)
-            (p.url, mn.span_start, p.text.substring(from, to))
+            val cpS = p.text.codePointCount(0, mn.span_start)
+            val cpE = cpS + p.text.codePointCount(mn.span_start, mn.span_end)
+            val from = math.max(0, cpS - 20)
+            val to = math.min(total, cpE + 20)
+            (p.url, mn.span_start, p.text.substring(
+              p.text.offsetByCodePoints(0, from), p.text.offsetByCodePoints(0, to)))
           }
         }
       }.toDF("url", "span_start", "context")
@@ -1684,7 +1692,17 @@ object SparkEntry {
       import s.implicits._
       val ext = KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir)))
       val bc = s.sparkContext.broadcast(MentionDetect.buildDictionary(PagesSynth.aliasMap.keys))
-      ext.mapPartitions(_.flatMap(p => MentionDetect.detect(p.url, p.text, bc.value))).toDF()
+      // span_start/span_end are UTF-16 offsets (the detector's native
+      // units); cp_start/cp_end are the same spans in CODE POINTS, computed
+      // here while the text is in hand — the units DuckDB's substr speaks,
+      // so context-window oracles stay exact on supplementary-plane text
+      ext.mapPartitions(_.flatMap { p =>
+        MentionDetect.detect(p.url, p.text, bc.value).iterator.map { mn =>
+          val cpS = p.text.codePointCount(0, mn.span_start)
+          val cpE = cpS + p.text.codePointCount(mn.span_start, mn.span_end)
+          (mn.url, mn.span_start, mn.span_end, mn.surface, mn.alias_norm, cpS, cpE)
+        }
+      }).toDF("url", "span_start", "span_end", "surface", "alias_norm", "cp_start", "cp_end")
     }),
     "aux_aliases" -> ((s, dir) => PagesSynth.aliases(s).toDF()),
     // page fingerprints straight from the synthesized corpus (the
@@ -2247,13 +2265,13 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
          WHERE split = 'train'
             OR (src IN (SELECT ent FROM te) AND dst IN (SELECT ent FROM te))"""),
     "kg_mention_contexts" ->
-      """WITH m AS (SELECT url, span_start, span_end
+      """WITH m AS (SELECT url, span_start, cp_start, cp_end
                     FROM read_parquet('{OUT}/aux_mentions/*.parquet')),
               x AS (SELECT url, text FROM read_parquet('{OUT}/aux_extracted/*.parquet'))
          SELECT m.url, m.span_start,
-                substr(x.text, greatest(0, m.span_start - 20) + 1,
-                       least(length(x.text), m.span_end + 20)
-                         - greatest(0, m.span_start - 20)) AS context
+                substr(x.text, greatest(0, m.cp_start - 20) + 1,
+                       least(length(x.text), m.cp_end + 20)
+                         - greatest(0, m.cp_start - 20)) AS context
          FROM m JOIN x USING (url)""",
     "doc_trigram_topk" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS ws

@@ -232,31 +232,29 @@ object Ann {
     cents
   }
 
-  /** Invert: centroid idx -> queries probing it (each query probes its
-    * nProbe nearest centroids; deterministic tie-break on centroid index). */
-  private def probeMap(cents: Array[Array[Float]], queries: Array[(Long, Array[Float])],
-      nProbe: Int): Map[Int, Vector[(Long, Array[Float])]] =
+  /** THE probed-list selection, generic in the query payload: each query
+    * probes its nProbe nearest centroids (deterministic tie-break on
+    * centroid index). Every IVF path — plain search, fused and indexed
+    * hard negatives — derives its probe map HERE, so their candidate sets
+    * agree by construction and a tie-break change can never fork them. */
+  private def probeMapBy[Q](cents: Array[Array[Float]], queries: Array[Q],
+      nProbe: Int)(vec: Q => Array[Float]): Map[Int, Vector[Q]] =
     queries.toVector
-      .flatMap { case (qid, qv) =>
-        cents.indices.map(ci => (TextOps.cosine(qv, cents(ci)), ci))
-          .sortBy { case (c, ci) => (-c, ci) }
-          .take(nProbe).map { case (_, ci) => (ci, (qid, qv)) }
-      }
-      .groupBy(_._1).map { case (ci, v) => (ci, v.map(_._2)) }
-
-  /** [[probeMap]] with the query's label riding along — THE probed-list
-    * selection of both hard-negative IVF paths (fused and indexed), so
-    * their candidate sets agree by construction. */
-  private def labeledProbeMap(cents: Array[Array[Float]],
-      queries: Array[(Long, Array[Float], Int)],
-      nProbe: Int): Map[Int, Vector[(Long, Array[Float], Int)]] =
-    queries.toVector
-      .flatMap { case q @ (_, qv, _) =>
-        cents.indices.map(ci => (TextOps.cosine(qv, cents(ci)), ci))
+      .flatMap { q =>
+        cents.indices.map(ci => (TextOps.cosine(vec(q), cents(ci)), ci))
           .sortBy { case (c, ci) => (-c, ci) }
           .take(nProbe).map { case (_, ci) => (ci, q) }
       }
       .groupBy(_._1).map { case (ci, v) => (ci, v.map(_._2)) }
+
+  private def probeMap(cents: Array[Array[Float]], queries: Array[(Long, Array[Float])],
+      nProbe: Int): Map[Int, Vector[(Long, Array[Float])]] =
+    probeMapBy(cents, queries, nProbe)(_._2)
+
+  private def labeledProbeMap(cents: Array[Array[Float]],
+      queries: Array[(Long, Array[Float], Int)],
+      nProbe: Int): Map[Int, Vector[(Long, Array[Float], Int)]] =
+    probeMapBy(cents, queries, nProbe)(_._2)
 
   /** Nearest-centroid assignment, identical tie-break to the fused scan in
     * [[ivfTopK]] (first index wins on equal cosine). */

@@ -213,20 +213,28 @@ object Dedup {
 
   /** Compaction for an appended band index: rewrite the table with the
     * global [[MaxBucket]] cap re-applied across all batches (per-append
-    * caps bound each batch, not their union). Same rewrite-then-swap shape
-    * as GraphSink's compaction: the new table materializes fully before the
-    * old name drops, so a failure mid-recap leaves the original intact. */
+    * caps bound each batch, not their union). Swap protocol: the new table
+    * materializes fully, the original renames ASIDE (never dropped until
+    * the new one is in place), the new one renames in, and only then does
+    * the aside copy drop — the data is recoverable at every failure point.
+    * A crash between the two renames leaves the name briefly unbound with
+    * the original intact under `<table>_recap_old` (re-run the recap or
+    * rename it back); a true single-statement swap needs a transactional
+    * catalog (Iceberg) and slots in behind this same method. */
   def recapBandIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val tmp = s"${table}_recap_tmp"
+    val old = s"${table}_recap_old"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
     capBuckets(spark.table(table), Seq("band", "band_hash"), "doc_id")
       .write
       .format("parquet")
       .bucketBy(tableBuckets(spark, table), "band", "band_hash")
       .sortBy("band", "band_hash", "doc_id")
       .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
   }
 
   /** Per-ingest-batch near-dup detection against a stored [[writeBandIndex]]

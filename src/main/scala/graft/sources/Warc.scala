@@ -82,7 +82,11 @@ object Warc {
     * dot-prefixed temp (invisible to Spark's hidden-file filter, so a
     * concurrent reader of `dir` never sees a torn file), close, then
     * rename — a speculative or retried attempt can never interleave bytes
-    * with another attempt writing the same partition file. */
+    * with another attempt writing the same partition file, and a committed
+    * file is never deleted (first attempt wins). Corollary: partition
+    * files are immutable once committed — re-running a job into an
+    * already-populated `dir` keeps the existing files; write to a fresh
+    * directory (or clean first) to regenerate. */
   def write(pages: org.apache.spark.sql.Dataset[Page], dir: String,
       prefix: String = "part"): Unit = {
     val spark = pages.sparkSession
@@ -100,10 +104,16 @@ object Warc {
         val out = new java.io.BufferedOutputStream(fs.create(tmp, true))
         try it.foreach(p => out.write(gzipMember(record(p.url, p.warc_ts, p.html))))
         finally out.close()
-        // last-attempt-wins: attempts write identical bytes, so replacing a
-        // finished duplicate is safe (HDFS/local rename won't overwrite)
-        if (fs.exists(dst)) fs.delete(dst, false)
-        require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+        // FIRST-attempt-wins: attempts write identical bytes, so if the
+        // rename loses the race (a faster attempt already committed dst)
+        // this temp is simply discarded — a committed file is NEVER
+        // deleted, so there is no window where a kill between delete and
+        // rename could lose data the job already reported as written
+        if (!fs.rename(tmp, dst)) {
+          require(fs.exists(dst),
+            s"rename $tmp -> $dst failed and no committed file exists")
+          fs.delete(tmp, false)
+        }
         ()
       }
     }

@@ -116,15 +116,19 @@ object IncrementalIngest {
     *     band index ([[graft.dedup.Dedup.incrementalPairsIndexed]] — only
     *     the batch computes signatures, the index side joins exchange-free),
     *  2. near-dups of any ALREADY-ACCEPTED document are dropped,
-    *  3. accepted rows append to the corpus table at `corpusDir`,
-    *  4. their band rows append to the index with the same bucket spec
+    *  3. the remainder dedups WITHIN the batch ([[graft.dedup.Dedup.minhashPairs]]
+    *     — a crawl segment routinely carries its own duplicates, and the
+    *     index join alone cannot see them); the lowest doc_id of each
+    *     near-dup pair survives,
+    *  4. accepted rows append to the corpus table at `corpusDir`,
+    *  5. their band rows append to the index with the same bucket spec
     *     ([[graft.dedup.Dedup.appendToBandIndex]]) — so batch N+1 dedups
     *     against batch N, not just the seed corpus.
     *
     * Caller seeds `corpusDir` + `indexTable` from the initial corpus
     * ([[graft.dedup.Dedup.writeBandIndex]]) before the first pass.
     * foreachBatch is at-least-once under mid-batch failure (the standard
-    * caveat); an Iceberg/transactional sink would make steps 3-4 atomic. */
+    * caveat); an Iceberg/transactional sink would make steps 4-5 atomic. */
   def startDedupedDocs(spark: SparkSession, docsDir: String, corpusDir: String,
       checkpointDir: String, indexTable: String, threshold: Double): StreamingQuery = {
     import org.apache.spark.sql.functions.col
@@ -145,7 +149,12 @@ object IncrementalIngest {
           val dupIds = graft.dedup.Dedup
             .incrementalPairsIndexed(b, corpus, indexTable, threshold)
             .select(col("doc_new").as("doc_id")).distinct()
-          val accepted = b.join(dupIds, Seq("doc_id"), "left_anti").persist()
+          val survivors = b.join(dupIds, Seq("doc_id"), "left_anti")
+          // intra-batch pass over what the index could not see: pairs are
+          // (doc_a < doc_b), keep-first-by-id drops every doc_b
+          val intraDups = graft.dedup.Dedup.minhashPairs(survivors, threshold)
+            .select(col("doc_b").as("doc_id")).distinct()
+          val accepted = survivors.join(intraDups, Seq("doc_id"), "left_anti").persist()
           accepted.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusDir)
           graft.dedup.Dedup.appendToBandIndex(accepted, indexTable)
           accepted.unpersist()

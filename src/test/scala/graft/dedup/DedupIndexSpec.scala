@@ -138,9 +138,12 @@ class DedupIndexSpec extends SparkTestBase {
     val batch0 = docsFrom((0 until 40).map(i => (i.toLong, doc2(1, i))))
     batch0.write.parquet(corpusDir)
     Dedup.writeBandIndex(batch0, table, buckets = 4)
-    // pass 1: 20 fresh docs + 20 near-dups of the SEED corpus
+    // pass 1: 20 fresh docs + 20 near-dups of the SEED corpus + 5
+    // near-dups of docs in the SAME batch (the index can't see those —
+    // the intra-batch pass must)
     docsFrom((0 until 20).map(i => (1000L + i, doc2(101, i))) ++
-             (0 until 20).map(i => (1100L + i, nearOf(doc2(1, i)))))
+             (0 until 20).map(i => (1100L + i, nearOf(doc2(1, i)))) ++
+             (0 until 5).map(i => (1500L + i, nearOf(doc2(101, i)))))
       .write.mode("append").parquet(docsDir)
     graft.streaming.IncrementalIngest.runOnceDedupedDocs(
       spark, docsDir, corpusDir, ckpt, table, 0.6)
@@ -153,8 +156,10 @@ class DedupIndexSpec extends SparkTestBase {
     val ids = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
     val want = (0 until 40).map(_.toLong).toSet ++
       (0 until 20).map(1000L + _).toSet ++ (0 until 10).map(2100L + _).toSet
-    // 1100s (near seed) rejected in pass 1; 2000s (near pass-1 docs) rejected
-    // in pass 2 — only possible because pass 1 APPENDED its bands
+    // 1100s (near seed) rejected in pass 1; 1500s (near docs of the SAME
+    // batch, keep-first-by-id) rejected by the intra-batch pass; 2000s
+    // (near pass-1 docs) rejected in pass 2 — only possible because
+    // pass 1 APPENDED its bands
     assert(ids == want,
       s"unexpected: extra=${(ids -- want).toSeq.sorted} missing=${(want -- ids).toSeq.sorted}")
   }

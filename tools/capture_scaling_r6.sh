@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
-# Round-6 graded-rule capture: interleaved 4c/16c pairs (N -> 4N) in all
-# three modes (decoded / stored / encoded), 16-core side first, each level
-# its own JVM, identical 20M-page corpus (protocol: BENCH.md round-4/5
-# drift data — trust only same-window pairs).
+# Round-6 graded-rule capture: interleaved 4c/16c pairs (N -> 4N),
+# 16-core side first, each level its own JVM, identical 20M-page corpus
+# (protocol: BENCH.md round-4/5 drift data — trust only same-window
+# pairs). Stored and decoded get TWO same-window pairs each; encoded
+# gets ONE (its replication lives in later windows / BENCH.md).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/scaling_r6.jsonl}
