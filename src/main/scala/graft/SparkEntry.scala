@@ -1677,6 +1677,121 @@ object SparkEntry {
         .select(col("kind"), element_at(col("feature"), 16).as("top_bucket"))
         .groupBy("kind").agg(count(lit(1)).as("n_media"),
           round(avg(col("top_bucket")), 4).as("avg_top_bucket_mass"))
+    }),
+
+    // ============ graph-table physical design + dataset statistics ==========
+    "kg_property_table" -> ((s, dir) => {
+      // the classic RDF PROPERTY-TABLE materialization (Abadi's SW-Store /
+      // Sempala-on-Spark shape): pivot the vertical (subj, pred, obj) layout
+      // into one wide row per subject — single-valued predicates as columns,
+      // the multi-valued web:mentions as a count. A star query that would
+      // need one self-join per predicate on the triple table becomes a
+      // single scan here; the pivot itself is ONE hash aggregation
+      // (map-side partials, conditional aggregates — no join, no explode),
+      // which is the property-table build you'd actually run at 10^12
+      // triples before serving entity-centric queries
+      val n = PagesSynth.pageCount(dir)
+      KgPipeline.encodedTriples(s, n).toDF()
+        .groupBy("page_id")
+        .agg(
+          max(when(col("pred_id") === KgPipeline.PredLang, col("lit"))).as("lang_id"),
+          max(when(col("pred_id") === KgPipeline.PredWarcTs, col("lit"))).as("warc_ts_ms"),
+          max(when(col("pred_id") === KgPipeline.PredNChars, col("lit"))).as("n_chars"),
+          sum(when(col("pred_id") === KgPipeline.PredMentions, 1L).otherwise(0L)).as("n_mentions"))
+    }),
+    "kg_void_stats" -> ((s, dir) => {
+      // VoID dataset statistics (the W3C dataset-descriptor vocabulary):
+      // per predicate, triple count + distinct subjects + distinct objects —
+      // exactly the cardinalities a SPARQL/join optimizer feeds its cost
+      // model. One pass, one aggregation; the two COUNT(DISTINCT)s share a
+      // single Expand-based aggregate rather than two self-joins. The
+      // object key is predicate-dependent (mentions → entity id, literal
+      // predicates → the literal), mirroring decodeColumns' object rule
+      val n = PagesSynth.pageCount(dir)
+      KgPipeline.encodedTriples(s, n).toDF()
+        .withColumn("obj_key",
+          when(col("pred_id") === KgPipeline.PredMentions, col("ent_id").cast("long"))
+            .otherwise(col("lit")))
+        .groupBy("pred_id")
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("page_id")).as("n_subjects"),
+          countDistinct(col("obj_key")).as("n_objects"))
+    }),
+    "kg_comention_lift" -> ((s, dir) => {
+      // association strength between co-mentioned entities: integer-micro
+      // LIFT (= PMI without the log, rank-equivalent per fixed corpus):
+      // lift = P(a,b) / (P(a) P(b)) over pages, computed as
+      // ((n_pair * 10^6) DIV deg_a) * n_pages DIV deg_b — integer DIV only,
+      // so the engine and the oracle agree bit-for-bit (at real corpus
+      // scale you'd compute the log-space double; the integer form exists
+      // for exact cross-engine comparison and keeps the same ranking).
+      // All three statistics derive from ONE shared hub-capped mention
+      // list (Triangles.cappedMembers — the same cap every co-mention
+      // operator uses), localCheckpointed because it feeds three branches
+      import s.implicits._
+      val n = PagesSynth.pageCount(dir)
+      val mentions = KgPipeline.encodedTriples(s, n).toDF()
+        .filter(col("pred_id") === KgPipeline.PredMentions)
+        .select(col("page_id"), col("ent_id"))
+      val l = Triangles.cappedMembers(mentions, "page_id", "ent_id", CoMentionHubCap)
+        .localCheckpoint()
+      val pairs = l.as("a").join(l.as("b"),
+          col("a.page_id") === col("b.page_id") && col("a.ent_id") < col("b.ent_id"))
+        .groupBy(col("a.ent_id").as("src"), col("b.ent_id").as("dst"))
+        .agg(count(lit(1)).as("n_pair"))
+      val deg = l.groupBy("ent_id").agg(count(lit(1)).as("deg"))
+      // the 1-row page total joins on a constant key: an EQUI join, so it
+      // plans as a BroadcastHashJoin and the contract-wide no-cross-join
+      // plan guard stays intact (a bare crossJoin — or a foldable lit(1)
+      // key, which Catalyst constant-folds out of the condition — would
+      // plan BroadcastNestedLoopJoin even for one row, and non-nullable
+      // arithmetic like n*0 folds too; pmod(n, 1) has no folding rule)
+      val total = l.agg(countDistinct(col("page_id")).as("n_pages"))
+        .withColumn("__one", pmod(col("n_pages"), lit(1L)).cast("int"))
+      pairs
+        .join(deg.select(col("ent_id").as("src"), col("deg").as("sdeg")), "src")
+        .join(deg.select(col("ent_id").as("dst"), col("deg").as("ddeg")), "dst")
+        .withColumn("__one", pmod(col("n_pair"), lit(1L)).cast("int"))
+        .join(broadcast(total), "__one")
+        .withColumn("lift_micro", expr("((n_pair * 1000000) DIV sdeg) * n_pages DIV ddeg"))
+        .orderBy(desc("lift_micro"), asc("src"), asc("dst"))
+        .limit(50)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+          col("n_pair"), col("lift_micro"))
+    }),
+    "doc_oov_rate" -> ((s, dir) => {
+      // out-of-vocabulary rate against the corpus head vocabulary (a
+      // quality/domain-shift signal CCNet-style pipelines compute before
+      // LM scoring): pass 1 builds the top-K vocabulary (freq DESC, token —
+      // a total order, so the K boundary is reproducible cross-engine),
+      // pass 2 scores every document against it. The vocabulary is
+      // driver-free and BROADCAST into the scoring join — at 100 TB the
+      // corpus streams twice but never shuffles on token
+      implicit val sp: SparkSession = s
+      val toks = t(dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok")).limit(16).select("tok")
+      toks.join(broadcast(vocab.withColumn("iv", lit(1))), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    }),
+    "ev_cohort_retention" -> ((s, dir) => {
+      // cohort retention (the standard product-analytics rollup): users
+      // cohorted by first-seen day, activity bucketed by day offset from
+      // that cohort day, distinct users per (cohort, offset) cell. Two
+      // aggregations and one join keyed on user_id — the firsts table is
+      // |users| rows, AQE broadcasts it at this scale and shuffle-joins
+      // co-partitioned on user_id when it is not
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events").select(col("user_id"), col("ts"))
+      val firsts = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      ev.join(firsts, "user_id")
+        .select(col("user_id"), to_date(col("first_ts")).as("cohort"),
+          datediff(to_date(col("ts")), to_date(col("first_ts"))).cast("long").as("day_offset"))
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
     })
   )
 
@@ -3008,6 +3123,57 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                          FROM cand c JOIN q ON q.qid = c.query_id
                                      JOIN embeddings e ON e.vec_id = c.vec_id
                          WHERE e.label <> q.ql)
-         SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5"""
+         SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5""",
+    "kg_property_table" ->
+      """SELECT page_id,
+                MAX(CASE WHEN pred_id = 1 THEN lit END) AS lang_id,
+                MAX(CASE WHEN pred_id = 2 THEN lit END) AS warc_ts_ms,
+                MAX(CASE WHEN pred_id = 3 THEN lit END) AS n_chars,
+                CAST(SUM(CASE WHEN pred_id = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_mentions
+         FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+         GROUP BY 1""",
+    "kg_void_stats" ->
+      """SELECT pred_id,
+                CAST(COUNT(*) AS BIGINT) AS n_triples,
+                CAST(COUNT(DISTINCT page_id) AS BIGINT) AS n_subjects,
+                CAST(COUNT(DISTINCT CASE WHEN pred_id = 4 THEN CAST(ent_id AS BIGINT)
+                                         ELSE lit END) AS BIGINT) AS n_objects
+         FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+         GROUP BY 1""",
+    "kg_comention_lift" ->
+      """WITH m AS (SELECT DISTINCT page_id, ent_id
+                    FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+                    WHERE pred_id = 4),
+              l AS (SELECT page_id, ent_id FROM (
+                      SELECT page_id, ent_id,
+                             ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY ent_id) AS rn
+                      FROM m) WHERE rn <= 64),
+              p AS (SELECT a.ent_id AS src, b.ent_id AS dst, CAST(COUNT(*) AS BIGINT) AS n_pair
+                    FROM l a JOIN l b ON a.page_id = b.page_id AND a.ent_id < b.ent_id
+                    GROUP BY 1, 2),
+              d AS (SELECT ent_id, CAST(COUNT(*) AS BIGINT) AS deg FROM l GROUP BY 1),
+              tot AS (SELECT CAST(COUNT(DISTINCT page_id) AS BIGINT) AS n_pages FROM l),
+              sc AS (SELECT p.src, p.dst, p.n_pair,
+                            ((p.n_pair * 1000000) // ds.deg) * tot.n_pages // dd.deg AS lift_micro
+                     FROM p JOIN d ds ON ds.ent_id = p.src
+                            JOIN d dd ON dd.ent_id = p.dst, tot)
+         SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, n_pair,
+                CAST(lift_micro AS BIGINT) AS lift_micro
+         FROM sc ORDER BY lift_micro DESC, src, dst LIMIT 50""",
+    "doc_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+                        ORDER BY cnt DESC, tok LIMIT 16)
+         SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         FROM toks LEFT JOIN vocab ON vocab.tok = toks.tok
+         GROUP BY 1""",
+    "ev_cohort_retention" ->
+      """WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
+              r AS (SELECT e.user_id, CAST(f.first_ts AS DATE) AS cohort,
+                           date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) AS day_offset
+                    FROM events e JOIN f ON f.user_id = e.user_id)
+         SELECT cohort, day_offset, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM r GROUP BY 1, 2"""
   )
 }
