@@ -1777,6 +1777,67 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
     }),
+    "kg_nquads_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // N-Quads interchange with provenance named graphs: every decoded
+      // triple labeled with its crawl segment (graft:seg_<page_id DIV
+      // 1000>), serialized to N-Quads text, read BACK through the lenient
+      // parser, counted per graph — the sink must be lossless including
+      // the graph term, and the per-graph counts must equal the encoded
+      // table's per-segment counts. The named graph is the lineage unit:
+      // any triple traces to exactly one ingest segment, so one bad crawl
+      // segment can be dropped/reprocessed without touching the rest
+      val n = PagesSynth.pageCount(dir)
+      val quads = KgPipeline.decodeQuads(KgPipeline.encodedTriples(s, n), n)
+      val out = freshTmpDir(s"graft_nquads_${new java.io.File(dir).getName}")
+      graft.pipeline.NTriples.Quads.write(quads, out)
+      graft.pipeline.NTriples.Quads.read(s, out)
+        .groupBy("graph").agg(count(lit(1)).as("n_triples"))
+    }),
+    "kg_mention_reified" -> ((s, dir) => {
+      import s.implicits._
+      // RDF reification of mention provenance (the standard rdf:Statement
+      // vocabulary): each web:mentions triple becomes a statement node
+      // carrying subject/predicate/object plus the span literals — the
+      // per-triple lineage record, with DETERMINISTIC statement IRIs
+      // (page_id + span), never blank nodes, so re-runs mint identical
+      // statements (the reference's blank-node-free discipline,
+      // RDF.cityJSON's stable-IRI rule applied to provenance). Narrow
+      // 6-way flatMap in the same pass that reads the encoded row — no
+      // join, no shuffle
+      val n = PagesSynth.pageCount(dir)
+      KgPipeline.encodedTriples(s, n)
+        .filter(_.pred_id == KgPipeline.PredMentions)
+        .mapPartitions(_.flatMap { t =>
+          val url = PagesSynth.urlAt(t.page_id, n)
+          val s0 = t.lit >>> 32; val s1 = t.lit & 0xffffffffL
+          val stmt = s"graft:stmt_${t.page_id}_${s0}_${s1}"
+          Iterator(
+            (stmt, "rdf:type", "rdf:Statement"),
+            (stmt, "rdf:subject", url),
+            (stmt, "rdf:predicate", "web:mentions"),
+            (stmt, "rdf:object", s"ent:e${t.ent_id}"),
+            (stmt, "web:spanStart", s0.toString),
+            (stmt, "web:spanEnd", s1.toString))
+        }).toDF("stmt", "pred", "obj")
+    }),
+    "ev_hourly_gapfill" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // dense hourly series with zero-filled gaps (the time-series rollup
+      // consumers chart directly): the hour spine generates from the
+      // corpus min/max — two scalar aggregates and one sequence explode,
+      // O(hours) rows, never a driver loop — and left-joins the sparse
+      // counts; AQE broadcasts whichever side is small
+      val ev = t(dir, "events")
+      val spine = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+      val counts = ev.groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("hr"), "left")
+        .select(unix_timestamp(col("hr")).as("hour_epoch"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+    }),
     "ev_cohort_retention" -> ((s, dir) => {
       // cohort retention (the standard product-analytics rollup): users
       // cohorted by first-seen day, activity bucketed by day offset from
@@ -1830,6 +1891,14 @@ object SparkEntry {
     // re-aggregates it in DuckDB — integer columns end to end)
     "aux_enc_triples" -> ((s, dir) =>
       KgPipeline.encodedTriples(s, PagesSynth.pageCount(dir)).toDF()),
+    // page dictionary (page_id -> url): lets oracles re-derive any
+    // page_id-keyed result in terms of the string-world subjects
+    "aux_page_ids" -> ((s, dir) => {
+      import s.implicits._
+      val n = PagesSynth.pageCount(dir)
+      s.range(0, n, 1, PagesSynth.rangeParts(s, n))
+        .map(i => (i, PagesSynth.urlAt(i, n))).toDF("page_id", "url")
+    }),
     // per-stage outputs whose CARDINALITIES the kg_triples_by_pred oracle
     // recomputes against the emission contract
     "aux_extracted" -> ((s, dir) =>
@@ -3168,6 +3237,35 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                 CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
          FROM toks LEFT JOIN vocab ON vocab.tok = toks.tok
          GROUP BY 1""",
+    "kg_nquads_roundtrip" ->
+      """SELECT 'graft:seg_' || CAST(page_id // 1000 AS VARCHAR) AS graph,
+                CAST(COUNT(*) AS BIGINT) AS n_triples
+         FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+         GROUP BY 1""",
+    "kg_mention_reified" ->
+      """WITH m AS (SELECT page_id, ent_id,
+                           lit // 4294967296 AS s0, lit % 4294967296 AS s1
+                    FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+                    WHERE pred_id = 4),
+              d AS (SELECT page_id, url FROM read_parquet('{OUT}/aux_page_ids/*.parquet')),
+              b AS (SELECT 'graft:stmt_' || page_id || '_' || s0 || '_' || s1 AS stmt,
+                           page_id, ent_id, s0, s1 FROM m)
+         SELECT stmt, pred, obj FROM (
+           SELECT stmt, 'rdf:type' AS pred, 'rdf:Statement' AS obj FROM b
+           UNION ALL SELECT stmt, 'rdf:subject', d.url FROM b JOIN d USING (page_id)
+           UNION ALL SELECT stmt, 'rdf:predicate', 'web:mentions' FROM b
+           UNION ALL SELECT stmt, 'rdf:object', 'ent:e' || ent_id FROM b
+           UNION ALL SELECT stmt, 'web:spanStart', CAST(s0 AS VARCHAR) FROM b
+           UNION ALL SELECT stmt, 'web:spanEnd', CAST(s1 AS VARCHAR) FROM b)""",
+    "ev_hourly_gapfill" ->
+      """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+                           date_trunc('hour', MAX(ts)) AS h1 FROM events),
+              hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b),
+              c AS (SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1)
+         SELECT CAST(epoch(hrs.hr) AS BIGINT) AS hour_epoch,
+                COALESCE(c.n, 0) AS n_events
+         FROM hrs LEFT JOIN c USING (hr)""",
     "ev_cohort_retention" ->
       """WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
               r AS (SELECT e.user_id, CAST(f.first_ts AS DATE) AS cohort,

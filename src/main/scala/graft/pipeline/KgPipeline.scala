@@ -172,6 +172,14 @@ object KgPipeline {
   def decodeColumns(df: DataFrame, preds: Map[Int, String], langs: Map[Int, String]): Dataset[Triple] = {
     val spark = df.sparkSession
     import spark.implicits._
+    decodeColumnsWith(df, preds, langs, Nil).as[Triple]
+  }
+
+  /** [[decodeColumns]] with extra pass-through columns appended after the
+    * five triple columns (e.g. a named-graph label for N-Quads emission) —
+    * identical decode rules, DataFrame-shaped result. */
+  def decodeColumnsWith(df: DataFrame, preds: Map[Int, String], langs: Map[Int, String],
+      keep: Seq[String]): DataFrame = {
     def chain(m: Map[Int, String], c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       m.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) => when(c === k, lit(v)).otherwise(acc) }
     val pid = col("pred_id")
@@ -188,8 +196,26 @@ object KgPipeline {
         col("lit").bitwiseAND(lit(0xffffffffL)).cast("string")))
     val objType = when(pid === PredLang, lit(V.XsdString))
       .when(pid === PredWarcTs || pid === PredNChars, lit(V.XsdLong))
-    df.select(col("url").as("subj"), pred.as("pred"), objIri.as("obj_iri"),
-      objLit.as("obj_lit"), objType.as("obj_type")).as[Triple]
+    df.select(Seq(col("url").as("subj"), pred.as("pred"), objIri.as("obj_iri"),
+      objLit.as("obj_lit"), objType.as("obj_type")) ++ keep.map(col): _*)
+  }
+
+  /** [[decodeTriples]] as N-Quads rows: every triple labeled with its crawl
+    * segment's named graph (`graft:seg_<page_id DIV segSize>`) — the
+    * provenance partitioning a crawl-scale graph table ships with, so a
+    * consumer can trace any triple back to (and reprocess) exactly one
+    * ingest segment. Same 1:1 row decode as [[decodeTriples]]. */
+  def decodeQuads(enc: Dataset[EncTriple], n: Long, segSize: Long = 1000L): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val withUrl = enc.mapPartitions(_.map(t =>
+        (PagesSynth.urlAt(t.page_id, n), s"graft:seg_${t.page_id / segSize}",
+          t.pred_id, t.ent_id, t.lit)))
+      .toDF("url", "graph", "pred_id", "ent_id", "lit")
+    val dict = PagesSynth.entityDict(spark).withColumnRenamed("iri", "ent_iri")
+    decodeColumnsWith(withUrl.join(dict, Seq("ent_id"), "left"),
+      PredVocab.zipWithIndex.map(_.swap).toMap,
+      Langs.zipWithIndex.map(_.swap).toMap, Seq("graph"))
   }
 
   /** Triple emission for the in-memory encoded stream: entity IRIs resolve

@@ -156,6 +156,29 @@ object NTriples {
     * (never StringIndexOutOfBounds or a runaway scan), which the lenient
     * reader turns into an error-side-channel row. */
   def parse(ln: String): Triple = {
+    val (t, rest) = parseInner(ln)
+    require(rest.isEmpty, s"unexpected term after the object (an N-Quads line? use parseQuad): $ln")
+    t
+  }
+
+  /** N-Quads 1.1 line: the triple terms plus an OPTIONAL graph-label IRI
+    * before the '.' — a line without one belongs to the default graph
+    * (graph = null), exactly as the spec allows, so every valid N-Triples
+    * file is also a valid N-Quads file through this parser. */
+  def parseQuad(ln: String): (Triple, String) = {
+    val (t, rest) = parseInner(ln)
+    if (rest.isEmpty) (t, null)
+    else {
+      require(rest.startsWith("<") && rest.endsWith(">") && rest.indexOf('>') == rest.length - 1,
+        s"graph label must be a single IRI: $ln")
+      (t, compactIri(rest.substring(1, rest.length - 1)))
+    }
+  }
+
+  /** Shared term scanner: parses subject/predicate/object and returns the
+    * triple plus whatever sits between the object term and the final '.'
+    * (empty for N-Triples, the graph IRI for N-Quads). */
+  private def parseInner(ln: String): (Triple, String) = {
     val s = ln.trim
     require(s.endsWith("."), s"not an N-Triples line (no terminating '.'): $ln")
     def iriEnd(from: Int): Int = {
@@ -173,14 +196,17 @@ object NTriples {
     var i = pe + 1
     while (i < s.length && s.charAt(i) == ' ') i += 1
     require(i < s.length - 1, s"missing object term: $ln")
+    def rest(objEnd: Int): String = s.substring(objEnd + 1, s.length - 1).trim
     if (s.charAt(i) == '<') {
       val oe = iriEnd(i + 1)
       val raw = s.substring(i + 1, oe)
       val ann = raw.indexOf(AnnMarker)
-      if (ann >= 0)
-        Triple(subj, pred, compactIri(raw.substring(0, ann)),
-          decodeName(raw.substring(ann + AnnMarker.length)), null)
-      else Triple(subj, pred, compactIri(raw), null, null)
+      val t =
+        if (ann >= 0)
+          Triple(subj, pred, compactIri(raw.substring(0, ann)),
+            decodeName(raw.substring(ann + AnnMarker.length)), null)
+        else Triple(subj, pred, compactIri(raw), null, null)
+      (t, rest(oe))
     } else {
       require(s.charAt(i) == '"', s"object must be IRI or literal: $ln")
       // find the closing unescaped quote
@@ -195,8 +221,8 @@ object NTriples {
       if (j + 2 < s.length && s.charAt(j + 1) == '^' && s.charAt(j + 2) == '^') {
         require(j + 4 < s.length && s.charAt(j + 3) == '<', s"malformed datatype suffix: $ln")
         val de = iriEnd(j + 4)
-        Triple(subj, pred, null, lit, compactIri(s.substring(j + 4, de)))
-      } else Triple(subj, pred, null, lit, null)
+        (Triple(subj, pred, null, lit, compactIri(s.substring(j + 4, de))), rest(de))
+      } else (Triple(subj, pred, null, lit, null), rest(j))
     }
   }
 
@@ -233,6 +259,45 @@ object NTriples {
     /** Malformed lines only — the error side channel. */
     def errors(spark: SparkSession, target: String): DataFrame =
       readAll(spark, target).filter(col("_error").isNotNull).select("_error")
+
+    def read(spark: SparkSession, target: String): DataFrame =
+      readAll(spark, target).filter(col("_error").isNull).drop("_error")
+  }
+
+  /** N-Quads 1.1 line: [[line]] plus the graph-label IRI before the '.';
+    * graph = null emits a plain (default-graph) N-Triples line. */
+  def quadLine(t: Triple, graph: String): String =
+    if (graph == null) line(t)
+    else line(t).dropRight(1) + s"<${expandIri(graph)}> ."
+
+  /** N-Quads text sink/source — the provenance-partitioned interchange form
+    * (each crawl segment / source its own named graph). Input/output rows:
+    * the five Triple columns + `graph` (null = default graph). Same
+    * distribution shape as [[Files]]: narrow per-row serialize, narrow
+    * per-line lenient parse with the error side channel. */
+  object Quads {
+    def write(quads: DataFrame, target: String, parts: Int = 32): Unit = {
+      val spark = quads.sparkSession
+      import spark.implicits._
+      quads.select("subj", "pred", "obj_iri", "obj_lit", "obj_type", "graph")
+        .as[(String, String, String, String, String, String)]
+        .repartition(parts)
+        .map { case (s, p, oi, ol, ot, g) => quadLine(Triple(s, p, oi, ol, ot), g) }
+        .write.mode(SaveMode.Overwrite).text(target)
+    }
+
+    def readAll(spark: SparkSession, target: String): DataFrame = {
+      import spark.implicits._
+      spark.read.textFile(target).map { ln =>
+        (try {
+          val (t, g) = parseQuad(ln)
+          (t.subj, t.pred, t.obj_iri, t.obj_lit, t.obj_type, g, null: String)
+        } catch { case e if scala.util.control.NonFatal(e) =>
+          (null: String, null: String, null: String, null: String, null: String,
+            null: String, String.valueOf(e.getMessage))
+        })
+      }.toDF("subj", "pred", "obj_iri", "obj_lit", "obj_type", "graph", "_error")
+    }
 
     def read(spark: SparkSession, target: String): DataFrame =
       readAll(spark, target).filter(col("_error").isNull).drop("_error")

@@ -113,6 +113,46 @@ class AnalyticsAdditionsSpec extends SparkTestBase {
     assert(out(3L) === ((1L, 1L)))
   }
 
+  test("kg_mention_reified emits exactly six statements per mention with a stable IRI") {
+    import graft.pipeline.KgPipeline
+    val n = graft.synth.PagesSynth.pageCount(sfDir)
+    val nMentions = KgPipeline.encodedTriples(spark, n)
+      .filter(_.pred_id == KgPipeline.PredMentions).count()
+    val reified = SparkEntry.queries("kg_mention_reified")(spark, sfDir).cache()
+    assert(reified.count() === nMentions * 6)
+    // each reification predicate appears exactly once per statement
+    val perPred = reified.groupBy("pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perPred === Map(
+      "rdf:type" -> nMentions, "rdf:subject" -> nMentions,
+      "rdf:predicate" -> nMentions, "rdf:object" -> nMentions,
+      "web:spanStart" -> nMentions, "web:spanEnd" -> nMentions))
+    // statement IRIs are deterministic: a re-run mints the identical rows
+    val again = SparkEntry.queries("kg_mention_reified")(spark, sfDir)
+    assert(again.exceptAll(reified).count() === 0L)
+    assert(reified.exceptAll(again).count() === 0L)
+    reified.unpersist()
+  }
+
+  test("ev_hourly_gapfill zero-fills interior hours with no events") {
+    val sp = spark; import sp.implicits._
+    val ev = Seq(
+      (0L, "2024-03-01 10:15:00"),
+      (1L, "2024-03-01 10:45:00"),
+      (2L, "2024-03-01 13:05:00")) // 11:00 and 12:00 are gaps
+      .toDF("event_id", "ts_s")
+      .select($"event_id", $"ts_s".cast("timestamp").as("ts"),
+        lit(0L).as("user_id"), lit("x").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    val tmp = java.nio.file.Files.createTempDirectory("gapfill").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("ev_hourly_gapfill")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h10 = java.time.Instant.parse("2024-03-01T10:00:00Z").getEpochSecond
+    assert(out === Map(
+      h10 -> 2L, (h10 + 3600) -> 0L, (h10 + 7200) -> 0L, (h10 + 10800) -> 1L))
+  }
+
   test("ev_cohort_retention cohorts by first-seen day with exact day offsets") {
     val sp = spark; import sp.implicits._
     val ev = Seq(
