@@ -1777,6 +1777,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
     }),
+    "kg_bgp_star" -> ((s, dir) => {
+      // SPARQL basic graph pattern, star shape with a constant-object
+      // filter: ?page web:lang "en" . ?page web:mentions ?ent — compiled
+      // by Bgp.solve into one filtered scan per pattern + one equi-join
+      // on the shared ?page variable (strategy left to AQE). The BGP is
+      // THE RDF query primitive; this is the declarative corpus-scale
+      // form of the reference engine's per-document lookups
+      val n = PagesSynth.pageCount(dir)
+      val tr = KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
+        .select(col("subj"), col("pred"),
+          coalesce(col("obj_iri"), col("obj_lit")).as("obj"))
+      graft.operators.Bgp.solve(tr, Seq(
+          graft.operators.Bgp.Pattern("?page", V.WebLang, "en"),
+          graft.operators.Bgp.Pattern("?page", V.WebMentions, "?ent")))
+        .groupBy("ent").agg(countDistinct(col("page")).as("n_pages"))
+    }),
+    "kg_bgp_chain" -> ((s, dir) => {
+      // BGP chain across two triple sources: ?page web:mentions ?ent .
+      // ?ent rdf:name ?name — the object of one pattern joins the SUBJECT
+      // of the next (page triples chain into ontology triples), bag
+      // semantics preserved (a page mentioning an entity twice contributes
+      // two bindings, SPARQL's default)
+      val n = PagesSynth.pageCount(dir)
+      val tr = KgPipeline.triples(s, n).toDF()
+        .select(col("subj"), col("pred"),
+          coalesce(col("obj_iri"), col("obj_lit")).as("obj"))
+      graft.operators.Bgp.solve(tr, Seq(
+          graft.operators.Bgp.Pattern("?page", V.WebMentions, "?ent"),
+          graft.operators.Bgp.Pattern("?ent", V.RdfName, "?name")))
+        .groupBy("name").agg(count(lit(1)).as("n_mentions"))
+    }),
     "kg_nquads_roundtrip" -> ((s, dir) => {
       import s.implicits._
       // N-Quads interchange with provenance named graphs: every decoded
@@ -1891,6 +1922,15 @@ object SparkEntry {
     // re-aggregates it in DuckDB — integer columns end to end)
     "aux_enc_triples" -> ((s, dir) =>
       KgPipeline.encodedTriples(s, PagesSynth.pageCount(dir)).toDF()),
+    // entity dictionary with canonical names (the rdf:name ontology
+    // literals) for the BGP-chain oracle
+    "aux_entities" -> ((s, dir) => {
+      import s.implicits._
+      s.range(0, PagesSynth.NumEntities.toLong)
+        .mapPartitions(_.map(i =>
+          (i.toInt, PagesSynth.entityIri(i.toInt), PagesSynth.canonicalAlias(i.toInt))))
+        .toDF("ent_id", "iri", "name")
+    }),
     // page dictionary (page_id -> url): lets oracles re-derive any
     // page_id-keyed result in terms of the string-world subjects
     "aux_page_ids" -> ((s, dir) => {
@@ -3236,6 +3276,21 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
          SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                 CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
          FROM toks LEFT JOIN vocab ON vocab.tok = toks.tok
+         GROUP BY 1""",
+    "kg_bgp_star" ->
+      """WITH enc AS (SELECT * FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')),
+              en AS (SELECT page_id FROM enc WHERE pred_id = 1 AND lit = 0),
+              m AS (SELECT page_id, ent_id FROM enc WHERE pred_id = 4)
+         SELECT 'ent:e' || ent_id AS ent,
+                CAST(COUNT(DISTINCT m.page_id) AS BIGINT) AS n_pages
+         FROM m JOIN en USING (page_id)
+         GROUP BY 1""",
+    "kg_bgp_chain" ->
+      """WITH m AS (SELECT ent_id FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+                    WHERE pred_id = 4),
+              e AS (SELECT ent_id, name FROM read_parquet('{OUT}/aux_entities/*.parquet'))
+         SELECT e.name, CAST(COUNT(*) AS BIGINT) AS n_mentions
+         FROM m JOIN e USING (ent_id)
          GROUP BY 1""",
     "kg_nquads_roundtrip" ->
       """SELECT 'graft:seg_' || CAST(page_id // 1000 AS VARCHAR) AS graph,

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Basic-graph-pattern matching over a (subj, pred, obj) triple table —
+  * the SPARQL BGP core (SPARQL 1.1 §5.1 shape; the reference engine's
+  * per-document lookups generalize to this declarative form at corpus
+  * scale). A pattern term starting with '?' is a variable; anything else
+  * is a constant.
+  *
+  * Compilation is one filtered SCAN of the triple table per pattern
+  * (constants become scan predicates — they push into the parquet reader;
+  * a pattern with a constant predicate never reads the other predicates'
+  * row groups under predicate-ordered clustering) and one INNER EQUI-JOIN
+  * per shared variable, folded left in pattern order. Join strategy and
+  * ordering stay with Catalyst/AQE: selective patterns broadcast, big
+  * ones shuffle on the shared-variable key — the plan a SPARQL engine's
+  * cost model would pick, for free.
+  *
+  * Disconnected patterns are REJECTED up front: a BGP whose variable
+  * graph is not connected multiplies bindings (a cartesian product) — at
+  * 10¹²-triple scale that is always a query bug, and the engine's
+  * contract-wide no-cross-join plan guard forbids the plan it would
+  * compile to. Split such a query and combine the halves explicitly.
+  *
+  * Result: one column per distinct variable (without the '?'), one row
+  * per binding (bag semantics, duplicates preserved — SPARQL's default).
+  */
+object Bgp {
+
+  final case class Pattern(s: String, p: String, o: String) {
+    private[Bgp] def terms = Seq("subj" -> s, "pred" -> p, "obj" -> o)
+    private[Bgp] def vars = terms.collect { case (_, t) if isVar(t) => t.tail }
+  }
+
+  private def isVar(t: String): Boolean = t.startsWith("?")
+
+  /** Solve the BGP against `triples(subj, pred, obj)`. */
+  def solve(triples: DataFrame, patterns: Seq[Pattern]): DataFrame = {
+    require(patterns.nonEmpty, "empty basic graph pattern")
+    patterns.foreach { pt =>
+      require(pt.vars.nonEmpty, s"pattern binds no variable: $pt")
+      val dup = pt.vars.diff(pt.vars.distinct)
+      require(dup.isEmpty, s"repeated variable inside one pattern is unsupported: $pt")
+    }
+    requireConnected(patterns)
+
+    def scan(pt: Pattern): DataFrame = {
+      // constants filter the scan; variables project to their column name
+      val filtered = pt.terms.foldLeft(triples) { case (df, (c, t)) =>
+        if (isVar(t)) df else df.filter(col(c) === t)
+      }
+      filtered.select(pt.terms.collect { case (c, t) if isVar(t) =>
+        col(c).as(t.tail)
+      }: _*)
+    }
+
+    // greedy connected ordering: each folded pattern must share a variable
+    // with the bindings ACCUMULATED SO FAR (list order alone isn't enough —
+    // a pattern may connect only through one that appears later)
+    val ordered = scala.collection.mutable.Buffer(patterns.head)
+    val seen = scala.collection.mutable.Set(patterns.head.vars: _*)
+    var rest = patterns.tail
+    while (rest.nonEmpty) {
+      val i = rest.indexWhere(_.vars.exists(seen.contains)) // exists: connected
+      ordered += rest(i); seen ++= rest(i).vars
+      rest = rest.patch(i, Nil, 1)
+    }
+    ordered.tail.foldLeft(scan(ordered.head)) { (acc, pt) =>
+      val shared = pt.vars.filter(acc.columns.contains)
+      acc.join(scan(pt), shared)
+    }
+  }
+
+  /** Every pattern after the first must share a variable with some earlier
+    * pattern (checked in ANY order — the pattern list need not be
+    * pre-sorted; a standard union-find over the variable sets). */
+  private def requireConnected(patterns: Seq[Pattern]): Unit = {
+    val reach = scala.collection.mutable.Set(patterns.head.vars: _*)
+    var rest = patterns.tail
+    var progress = true
+    while (rest.nonEmpty && progress) {
+      val (hit, miss) = rest.partition(p => p.vars.exists(reach.contains))
+      progress = hit.nonEmpty
+      hit.foreach(p => reach ++= p.vars)
+      rest = miss
+    }
+    require(rest.isEmpty,
+      s"disconnected basic graph pattern (cartesian product at scale): ${rest.mkString(", ")}")
+  }
+}

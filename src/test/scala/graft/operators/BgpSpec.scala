@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.operators.Bgp.Pattern
+import org.apache.spark.sql.functions._
+
+/** Bgp.solve semantics: hand-derived bindings for star/chain/variable-
+  * predicate shapes, bag semantics, out-of-order connectivity, and loud
+  * rejection of disconnected patterns. */
+class BgpSpec extends SparkTestBase {
+
+  private def triples = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      ("p1", "lang", "en"),
+      ("p1", "mentions", "e1"),
+      ("p1", "mentions", "e2"),
+      ("p1", "mentions", "e1"), // duplicate mention: bag semantics
+      ("p2", "lang", "de"),
+      ("p2", "mentions", "e1"),
+      ("p3", "lang", "en"),
+      ("e1", "name", "Entity One"),
+      ("e2", "name", "Entity Two")).toDF("subj", "pred", "obj")
+  }
+
+  test("star with constant object: hand-derived bindings") {
+    val sp = spark; import sp.implicits._
+    val out = Bgp.solve(triples, Seq(
+        Pattern("?p", "lang", "en"), Pattern("?p", "mentions", "?e")))
+      .as[(String, String)].collect().sorted.toSeq
+    // p3 is English but mentions nothing; p2 mentions but is German
+    assert(out === Seq(("p1", "e1"), ("p1", "e1"), ("p1", "e2")))
+  }
+
+  test("chain joins a pattern's object to the next pattern's subject") {
+    val sp = spark; import sp.implicits._
+    val out = Bgp.solve(triples, Seq(
+        Pattern("?p", "mentions", "?e"), Pattern("?e", "name", "?n")))
+      .select("p", "n").as[(String, String)].collect().sorted.toSeq
+    assert(out === Seq(("p1", "Entity One"), ("p1", "Entity One"),
+      ("p1", "Entity Two"), ("p2", "Entity One")))
+  }
+
+  test("variable predicate binds the predicate column") {
+    val sp = spark; import sp.implicits._
+    val out = Bgp.solve(triples, Seq(Pattern("p2", "?r", "?o")))
+      .as[(String, String)].collect().sorted.toSeq
+    assert(out === Seq(("lang", "de"), ("mentions", "e1")))
+  }
+
+  test("connectivity may arrive out of list order (greedy reorder)") {
+    val sp = spark; import sp.implicits._
+    // pattern 2 shares nothing with pattern 1 directly; pattern 3 bridges
+    val out = Bgp.solve(triples, Seq(
+        Pattern("?p", "lang", "en"),
+        Pattern("?e", "name", "?n"),
+        Pattern("?p", "mentions", "?e")))
+      .select("p", "n").as[(String, String)].collect().sorted.toSeq
+    assert(out === Seq(("p1", "Entity One"), ("p1", "Entity One"),
+      ("p1", "Entity Two")))
+  }
+
+  test("disconnected patterns are rejected, never cross-joined") {
+    val e = intercept[IllegalArgumentException] {
+      Bgp.solve(triples, Seq(
+        Pattern("?p", "lang", "en"), Pattern("?e", "name", "?n")))
+    }
+    assert(e.getMessage.contains("disconnected"))
+    // all-constant pattern binds nothing: also rejected
+    intercept[IllegalArgumentException] {
+      Bgp.solve(triples, Seq(Pattern("p1", "lang", "en")))
+    }
+    // repeated variable inside one pattern: unsupported, loud
+    intercept[IllegalArgumentException] {
+      Bgp.solve(triples, Seq(Pattern("?x", "mentions", "?x")))
+    }
+  }
+
+  test("constant terms push down to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("bgp").toString
+    triples.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val plan = Bgp.solve(stored, Seq(
+        Pattern("?p", "lang", "en"), Pattern("?p", "mentions", "?e")))
+      .queryExecution.executedPlan.toString
+    // each branch's constant predicate reaches the scan as a pushed filter
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(pred,lang)") && plan.contains("EqualTo(obj,en)"), plan)
+    assert(plan.contains("EqualTo(pred,mentions)"), plan)
+  }
+}
