@@ -1808,6 +1808,23 @@ object SparkEntry {
           graft.operators.Bgp.Pattern("?ent", V.RdfName, "?name")))
         .groupBy("name").agg(count(lit(1)).as("n_mentions"))
     }),
+    "kg_bgp_optional" -> ((s, dir) => {
+      // SPARQL OPTIONAL: ?page web:lang ?l . OPTIONAL { ?page web:mentions
+      // ?ent } — pages with no mentions survive with a null ?ent (a plain
+      // BGP would drop them); rolled up per language into total pages and
+      // mention-less pages. The optional group compiles to ONE left
+      // equi-join on the shared ?page variable
+      val n = PagesSynth.pageCount(dir)
+      val tr = KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
+        .select(col("subj"), col("pred"),
+          coalesce(col("obj_iri"), col("obj_lit")).as("obj"))
+      graft.operators.Bgp.solveOptional(tr,
+          Seq(graft.operators.Bgp.Pattern("?page", V.WebLang, "?l")),
+          Seq(Seq(graft.operators.Bgp.Pattern("?page", V.WebMentions, "?ent"))))
+        .groupBy(col("l").as("lang"))
+        .agg(countDistinct(col("page")).as("n_pages"),
+          countDistinct(when(col("ent").isNull, col("page"))).as("n_no_mentions"))
+    }),
     "kg_nquads_roundtrip" -> ((s, dir) => {
       import s.implicits._
       // N-Quads interchange with provenance named graphs: every decoded
@@ -3291,6 +3308,18 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
               e AS (SELECT ent_id, name FROM read_parquet('{OUT}/aux_entities/*.parquet'))
          SELECT e.name, CAST(COUNT(*) AS BIGINT) AS n_mentions
          FROM m JOIN e USING (ent_id)
+         GROUP BY 1""",
+    "kg_bgp_optional" ->
+      """WITH enc AS (SELECT * FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')),
+              lp AS (SELECT page_id,
+                            CASE lit WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+                                     WHEN 3 THEN 'es' ELSE 'nl' END AS lang
+                     FROM enc WHERE pred_id = 1),
+              m AS (SELECT DISTINCT page_id FROM enc WHERE pred_id = 4)
+         SELECT lp.lang, CAST(COUNT(DISTINCT lp.page_id) AS BIGINT) AS n_pages,
+                CAST(COUNT(DISTINCT CASE WHEN m.page_id IS NULL
+                                         THEN lp.page_id END) AS BIGINT) AS n_no_mentions
+         FROM lp LEFT JOIN m USING (page_id)
          GROUP BY 1""",
     "kg_nquads_roundtrip" ->
       """SELECT 'graft:seg_' || CAST(page_id // 1000 AS VARCHAR) AS graph,

@@ -73,6 +73,24 @@ object Bgp {
     }
   }
 
+  /** [[solve]] extended with SPARQL OPTIONAL groups (SPARQL 1.1 §6):
+    * each optional group solves independently and LEFT-joins the required
+    * bindings on its shared variables — bindings with no match keep the
+    * group's variables null instead of disappearing. Each group must share
+    * at least one variable with the required pattern (an unshared group
+    * would be a cartesian extension — rejected like disconnected BGPs). */
+  def solveOptional(triples: DataFrame, required: Seq[Pattern],
+      optionals: Seq[Seq[Pattern]]): DataFrame = {
+    val base = solve(triples, required)
+    optionals.foldLeft(base) { (acc, group) =>
+      val g = solve(triples, group)
+      val shared = g.columns.filter(acc.columns.contains).toSeq
+      require(shared.nonEmpty,
+        s"OPTIONAL group shares no variable with the required pattern: ${group.mkString(", ")}")
+      acc.join(g, shared, "left")
+    }
+  }
+
   /** Every pattern after the first must share a variable with some earlier
     * pattern (checked in ANY order — the pattern list need not be
     * pre-sorted; a standard union-find over the variable sets). */

@@ -40,6 +40,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("kg_property_table pivots on exactly one exchange (conditional aggregates, no join)") {
+    val plan = planOf("kg_property_table").toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan) // the whole point vs per-predicate self-joins
+    assert(plan.contains("partial_"), plan) // map-side partial aggregation
+  }
+
+  test("doc_oov_rate broadcasts the head vocabulary into the scoring join") {
+    val plan = planOf("doc_oov_rate").toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // the corpus never shuffles on token for scoring
+  }
+
   test("kg_comention_triangles plans equi-joins only (no cross product)") {
     // the full query's upstream (cap window included) materializes inside
     // Triangles' localCheckpoint — its plan properties are locked separately

@@ -76,6 +76,26 @@ class BgpSpec extends SparkTestBase {
     }
   }
 
+  test("OPTIONAL keeps unmatched bindings with null columns (bag-preserving)") {
+    val out = Bgp.solveOptional(triples,
+        Seq(Pattern("?p", "lang", "?l")),
+        Seq(Seq(Pattern("?p", "mentions", "?e"))))
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getString(2)}")
+      .sorted.toSeq
+    // p3 has no mentions: survives with a null ?e; p1's duplicate mention
+    // contributes two bindings (bag semantics through the left join)
+    assert(out === Seq("p1|en|e1", "p1|en|e1", "p1|en|e2", "p2|de|e1", "p3|en|null"))
+  }
+
+  test("an OPTIONAL group sharing no variable is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Bgp.solveOptional(triples,
+        Seq(Pattern("?p", "lang", "en")),
+        Seq(Seq(Pattern("?x", "name", "?n"))))
+    }
+    assert(e.getMessage.contains("OPTIONAL"))
+  }
+
   test("constant terms push down to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("bgp").toString
     triples.write.mode("overwrite").parquet(dir)
