@@ -1825,6 +1825,27 @@ object SparkEntry {
         .agg(countDistinct(col("page")).as("n_pages"),
           countDistinct(when(col("ent").isNull, col("page"))).as("n_no_mentions"))
     }),
+    "kg_bgp_construct" -> ((s, dir) => {
+      // SPARQL CONSTRUCT as a rule engine: CONSTRUCT { ?a web:coMentioned
+      // ?b } WHERE { ?p web:mentions ?a . ?p web:mentions ?b, ?a < ?b } —
+      // premise bindings from the BGP, conclusion triples from the
+      // template, distinct at materialization (the rule's closure). The
+      // synthetic corpus's per-page mention lists are bounded (~4), so the
+      // page-keyed self-join is safe uncapped here; a corpus with
+      // link-farm pages routes through the hub-capped co-mention
+      // derivations instead (CoMentionHubCap)
+      val n = PagesSynth.pageCount(dir)
+      val tr = KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
+        .select(col("subj"), col("pred"),
+          coalesce(col("obj_iri"), col("obj_lit")).as("obj"))
+      val premise = graft.operators.Bgp.solve(tr, Seq(
+          graft.operators.Bgp.Pattern("?p", V.WebMentions, "?a"),
+          graft.operators.Bgp.Pattern("?p", V.WebMentions, "?b")))
+        .filter(col("a") < col("b"))
+      graft.operators.Bgp.construct(premise, Seq(
+          graft.operators.Bgp.Pattern("?a", "web:coMentioned", "?b")))
+        .distinct()
+    }),
     "kg_nquads_roundtrip" -> ((s, dir) => {
       import s.implicits._
       // N-Quads interchange with provenance named graphs: every decoded
@@ -3321,6 +3342,12 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                                          THEN lp.page_id END) AS BIGINT) AS n_no_mentions
          FROM lp LEFT JOIN m USING (page_id)
          GROUP BY 1""",
+    "kg_bgp_construct" ->
+      """WITH m AS (SELECT DISTINCT page_id, 'ent:e' || ent_id AS ent
+                    FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+                    WHERE pred_id = 4)
+         SELECT DISTINCT a.ent AS subj, 'web:coMentioned' AS pred, b.ent AS obj
+         FROM m a JOIN m b ON a.page_id = b.page_id AND a.ent < b.ent""",
     "kg_nquads_roundtrip" ->
       """SELECT 'graft:seg_' || CAST(page_id // 1000 AS VARCHAR) AS graph,
                 CAST(COUNT(*) AS BIGINT) AS n_triples

@@ -91,6 +91,23 @@ object Bgp {
     }
   }
 
+  /** SPARQL CONSTRUCT: instantiate triple templates once per binding row
+    * (SPARQL 1.1 §16.2) — the generic rule-inference form: WHERE finds the
+    * premise bindings, CONSTRUCT emits the conclusion triples. Template
+    * terms substitute binding columns ('?x') or pass through as constants.
+    * Bag semantics like the rest of the family; callers `.distinct()` when
+    * materializing a rule's closure (SPARQL engines dedup at serialization
+    * — same place). */
+  def construct(bindings: DataFrame, templates: Seq[Pattern]): DataFrame = {
+    require(templates.nonEmpty, "empty CONSTRUCT template")
+    templates.foreach(_.vars.foreach(v =>
+      require(bindings.columns.contains(v), s"template variable ?$v is not bound")))
+    def term(t: String) = if (isVar(t)) col(t.tail) else lit(t)
+    templates.map { t =>
+      bindings.select(term(t.s).as("subj"), term(t.p).as("pred"), term(t.o).as("obj"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Every pattern after the first must share a variable with some earlier
     * pattern (checked in ANY order — the pattern list need not be
     * pre-sorted; a standard union-find over the variable sets). */

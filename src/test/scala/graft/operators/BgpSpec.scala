@@ -96,6 +96,23 @@ class BgpSpec extends SparkTestBase {
     assert(e.getMessage.contains("OPTIONAL"))
   }
 
+  test("CONSTRUCT instantiates templates per binding; unbound vars rejected") {
+    val sp = spark; import sp.implicits._
+    val premise = Bgp.solve(triples, Seq(
+        Pattern("?p", "mentions", "?a"), Pattern("?p", "mentions", "?b")))
+      .filter(col("a") < col("b"))
+    val out = Bgp.construct(premise,
+        Seq(Pattern("?a", "coMentioned", "?b"), Pattern("?b", "coMentioned", "?a")))
+      .distinct()
+      .as[(String, String, String)].collect().toSet
+    // only p1 mentions two distinct entities
+    assert(out === Set(("e1", "coMentioned", "e2"), ("e2", "coMentioned", "e1")))
+    val e = intercept[IllegalArgumentException] {
+      Bgp.construct(premise, Seq(Pattern("?a", "coMentioned", "?missing")))
+    }
+    assert(e.getMessage.contains("not bound"))
+  }
+
   test("constant terms push down to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("bgp").toString
     triples.write.mode("overwrite").parquet(dir)
