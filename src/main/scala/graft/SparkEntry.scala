@@ -1846,6 +1846,24 @@ object SparkEntry {
           graft.operators.Bgp.Pattern("?a", "web:coMentioned", "?b")))
         .distinct()
     }),
+    "kg_forget_subjects" -> ((s, dir) => {
+      import s.implicits._
+      // right-to-be-forgotten propagation: materialize the graph as a
+      // snapshotted table, FORGET every 10th page's url (a takedown batch,
+      // shipped as a Dataset — never a driver list), read the new current
+      // snapshot back. The delete is a versioned commit: older snapshots
+      // still hold the rows until retention expires them (erasure =
+      // forget + expire), and the anti-join runs on the subject key the
+      // table is already partitioned by
+      val n = PagesSynth.pageCount(dir)
+      val sink = new graft.pipeline.GraphSink.Snapshotted(8)
+      val out = freshTmpDir(s"graft_forget_${new java.io.File(dir).getName}")
+      sink.write(KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n), out)
+      val takedown = s.range(0, n).filter(col("id") % 10 === 0)
+        .map(i => PagesSynth.urlAt(i, n))
+      sink.forget(s, out, takedown)
+      sink.read(s, out).groupBy("pred").agg(count(lit(1)).as("n_triples"))
+    }),
     "kg_nquads_roundtrip" -> ((s, dir) => {
       import s.implicits._
       // N-Quads interchange with provenance named graphs: every decoded
@@ -3348,6 +3366,14 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                     WHERE pred_id = 4)
          SELECT DISTINCT a.ent AS subj, 'web:coMentioned' AS pred, b.ent AS obj
          FROM m a JOIN m b ON a.page_id = b.page_id AND a.ent < b.ent""",
+    "kg_forget_subjects" ->
+      """SELECT CASE pred_id WHEN 0 THEN 'rdf:type' WHEN 1 THEN 'web:lang'
+                             WHEN 2 THEN 'web:warc_ts' WHEN 3 THEN 'web:n_chars'
+                             ELSE 'web:mentions' END AS pred,
+                CAST(COUNT(*) AS BIGINT) AS n_triples
+         FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')
+         WHERE page_id % 10 <> 0
+         GROUP BY 1""",
     "kg_nquads_roundtrip" ->
       """SELECT 'graft:seg_' || CAST(page_id // 1000 AS VARCHAR) AS graph,
                 CAST(COUNT(*) AS BIGINT) AS n_triples

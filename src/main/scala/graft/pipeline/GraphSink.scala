@@ -211,6 +211,27 @@ object GraphSink {
       victims
     }
 
+    /** Right-to-be-forgotten deletion (the GDPR-erasure / takedown shape at
+      * crawl scale): commit a NEW snapshot containing every current triple
+      * EXCEPT those whose subject is on the forget list. The delete is
+      * itself a versioned commit — auditable via [[readChanges]] (pure
+      * 'delete' rows), reversible until [[expire]] drops the older
+      * snapshots, at which point the erased rows physically leave the
+      * store (erasure = forget + expire, the two-step every snapshot store
+      * uses). The forget list arrives as a Dataset, never a driver
+      * collection — a takedown batch can be millions of urls — and applies
+      * as ONE left-anti join on the subject key the table is already
+      * partitioned by (AQE broadcasts small lists). Returns the new
+      * snapshot id. */
+    def forget(spark: SparkSession, target: String, subjects: Dataset[String]): Long = {
+      import spark.implicits._
+      val kept = read(spark, target)
+        .join(subjects.toDF("subj"), Seq("subj"), "left_anti")
+        .select(tripleCols: _*).as[Triple]
+      commit(kept.repartition(parts, col("subj")), target)
+      currentId(spark, target)
+    }
+
     /** Compaction (the OPTIMIZE / rewrite_data_files analog): rewrite the
       * current snapshot's data into `parts` right-sized files and commit
       * the result as a NEW snapshot — the small-files problem is the
