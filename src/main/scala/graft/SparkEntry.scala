@@ -1846,6 +1846,19 @@ object SparkEntry {
           graft.operators.Bgp.Pattern("?a", "web:coMentioned", "?b")))
         .distinct()
     }),
+    "kg_bgp_minus" -> ((s, dir) => {
+      // SPARQL MINUS: ?page web:mentions ?ent MINUS { ?page web:lang "en" }
+      // — mention bindings on non-English pages only, via one left-anti
+      // join on the shared ?page variable; rolled up per entity
+      val n = PagesSynth.pageCount(dir)
+      val tr = KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
+        .select(col("subj"), col("pred"),
+          coalesce(col("obj_iri"), col("obj_lit")).as("obj"))
+      graft.operators.Bgp.solveMinus(tr,
+          Seq(graft.operators.Bgp.Pattern("?page", V.WebMentions, "?ent")),
+          Seq(graft.operators.Bgp.Pattern("?page", V.WebLang, "en")))
+        .groupBy("ent").agg(countDistinct(col("page")).as("n_pages"))
+    }),
     "kg_forget_subjects" -> ((s, dir) => {
       import s.implicits._
       // right-to-be-forgotten propagation: materialize the graph as a
@@ -3366,6 +3379,15 @@ SELECT seed, dist, COUNT(*) AS n_entities FROM v$rounds GROUP BY 1, 2"""
                     WHERE pred_id = 4)
          SELECT DISTINCT a.ent AS subj, 'web:coMentioned' AS pred, b.ent AS obj
          FROM m a JOIN m b ON a.page_id = b.page_id AND a.ent < b.ent""",
+    "kg_bgp_minus" ->
+      """WITH enc AS (SELECT * FROM read_parquet('{OUT}/aux_enc_triples/*.parquet')),
+              en AS (SELECT page_id FROM enc WHERE pred_id = 1 AND lit = 0),
+              m AS (SELECT page_id, ent_id FROM enc WHERE pred_id = 4)
+         SELECT 'ent:e' || ent_id AS ent,
+                CAST(COUNT(DISTINCT page_id) AS BIGINT) AS n_pages
+         FROM m
+         WHERE page_id NOT IN (SELECT page_id FROM en)
+         GROUP BY 1""",
     "kg_forget_subjects" ->
       """SELECT CASE pred_id WHEN 0 THEN 'rdf:type' WHEN 1 THEN 'web:lang'
                              WHEN 2 THEN 'web:warc_ts' WHEN 3 THEN 'web:n_chars'

@@ -91,6 +91,23 @@ object Bgp {
     }
   }
 
+  /** SPARQL MINUS (SPARQL 1.1 §8.3): drop every required binding for which
+    * the minus group has at least one compatible solution — compiled as a
+    * LEFT ANTI join on the shared variables (exactly SPARQL's
+    * compatibility: shared variables equal, unshared ones unconstrained).
+    * A minus group sharing NO variable is rejected: SPARQL defines that
+    * case as removing nothing, and silently keeping everything is a
+    * footgun — ask for the no-op explicitly. */
+  def solveMinus(triples: DataFrame, required: Seq[Pattern],
+      minusGroup: Seq[Pattern]): DataFrame = {
+    val base = solve(triples, required)
+    val g = solve(triples, minusGroup)
+    val shared = g.columns.filter(base.columns.contains).toSeq
+    require(shared.nonEmpty,
+      s"MINUS group shares no variable with the required pattern (a SPARQL no-op): ${minusGroup.mkString(", ")}")
+    base.join(g, shared, "left_anti")
+  }
+
   /** SPARQL CONSTRUCT: instantiate triple templates once per binding row
     * (SPARQL 1.1 §16.2) — the generic rule-inference form: WHERE finds the
     * premise bindings, CONSTRUCT emits the conclusion triples. Template

@@ -96,6 +96,22 @@ class BgpSpec extends SparkTestBase {
     assert(e.getMessage.contains("OPTIONAL"))
   }
 
+  test("MINUS drops bindings with a compatible minus solution; unshared group rejected") {
+    val sp = spark; import sp.implicits._
+    val out = Bgp.solveMinus(triples,
+        Seq(Pattern("?p", "mentions", "?e")),
+        Seq(Pattern("?p", "lang", "en")))
+      .as[(String, String)].collect().sorted.toSeq
+    // p1 is English → all its mention bindings removed; p2 (German) survives
+    assert(out === Seq(("p2", "e1")))
+    val e = intercept[IllegalArgumentException] {
+      Bgp.solveMinus(triples,
+        Seq(Pattern("?p", "mentions", "?e")),
+        Seq(Pattern("?x", "name", "?n")))
+    }
+    assert(e.getMessage.contains("MINUS"))
+  }
+
   test("CONSTRUCT instantiates templates per binding; unbound vars rejected") {
     val sp = spark; import sp.implicits._
     val premise = Bgp.solve(triples, Seq(
