@@ -110,6 +110,22 @@ object SparkEntry {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /** Shared (subj, pred, obj) view for the BGP contract queries,
+    * localCheckpointed: Bgp compiles one scan per pattern, and without the
+    * cut the whole synth→encode→decode lineage would re-run once per
+    * pattern (the kg_comention_lift discipline applied to the pattern
+    * family). `withOntology` adds the once-per-corpus ontology triples
+    * (the rdf:name chain target). */
+  private def bgpTriples(s: SparkSession, dir: String,
+      withOntology: Boolean = false): DataFrame = {
+    val n = PagesSynth.pageCount(dir)
+    val base =
+      if (withOntology) KgPipeline.triples(s, n).toDF()
+      else KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
+    base.select(col("subj"), col("pred"),
+      coalesce(col("obj_iri"), col("obj_lit")).as("obj")).localCheckpoint()
+  }
+
   /** Flagship: the full web-text KG pipeline on the sf0.001-scaled corpus. */
   def entry(spark: SparkSession): DataFrame =
     KgPipeline.triples(spark, PagesSynth.pageCount("sf0.001")).toDF()
@@ -1784,10 +1800,7 @@ object SparkEntry {
       // on the shared ?page variable (strategy left to AQE). The BGP is
       // THE RDF query primitive; this is the declarative corpus-scale
       // form of the reference engine's per-document lookups
-      val n = PagesSynth.pageCount(dir)
-      val tr = KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
-        .select(col("subj"), col("pred"),
-          coalesce(col("obj_iri"), col("obj_lit")).as("obj"))
+      val tr = bgpTriples(s, dir)
       graft.operators.Bgp.solve(tr, Seq(
           graft.operators.Bgp.Pattern("?page", V.WebLang, "en"),
           graft.operators.Bgp.Pattern("?page", V.WebMentions, "?ent")))
@@ -1799,10 +1812,7 @@ object SparkEntry {
       // of the next (page triples chain into ontology triples), bag
       // semantics preserved (a page mentioning an entity twice contributes
       // two bindings, SPARQL's default)
-      val n = PagesSynth.pageCount(dir)
-      val tr = KgPipeline.triples(s, n).toDF()
-        .select(col("subj"), col("pred"),
-          coalesce(col("obj_iri"), col("obj_lit")).as("obj"))
+      val tr = bgpTriples(s, dir, withOntology = true)
       graft.operators.Bgp.solve(tr, Seq(
           graft.operators.Bgp.Pattern("?page", V.WebMentions, "?ent"),
           graft.operators.Bgp.Pattern("?ent", V.RdfName, "?name")))
@@ -1814,10 +1824,7 @@ object SparkEntry {
       // BGP would drop them); rolled up per language into total pages and
       // mention-less pages. The optional group compiles to ONE left
       // equi-join on the shared ?page variable
-      val n = PagesSynth.pageCount(dir)
-      val tr = KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
-        .select(col("subj"), col("pred"),
-          coalesce(col("obj_iri"), col("obj_lit")).as("obj"))
+      val tr = bgpTriples(s, dir)
       graft.operators.Bgp.solveOptional(tr,
           Seq(graft.operators.Bgp.Pattern("?page", V.WebLang, "?l")),
           Seq(Seq(graft.operators.Bgp.Pattern("?page", V.WebMentions, "?ent"))))
@@ -1834,10 +1841,7 @@ object SparkEntry {
       // page-keyed self-join is safe uncapped here; a corpus with
       // link-farm pages routes through the hub-capped co-mention
       // derivations instead (CoMentionHubCap)
-      val n = PagesSynth.pageCount(dir)
-      val tr = KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
-        .select(col("subj"), col("pred"),
-          coalesce(col("obj_iri"), col("obj_lit")).as("obj"))
+      val tr = bgpTriples(s, dir)
       val premise = graft.operators.Bgp.solve(tr, Seq(
           graft.operators.Bgp.Pattern("?p", V.WebMentions, "?a"),
           graft.operators.Bgp.Pattern("?p", V.WebMentions, "?b")))
@@ -1850,10 +1854,7 @@ object SparkEntry {
       // SPARQL MINUS: ?page web:mentions ?ent MINUS { ?page web:lang "en" }
       // — mention bindings on non-English pages only, via one left-anti
       // join on the shared ?page variable; rolled up per entity
-      val n = PagesSynth.pageCount(dir)
-      val tr = KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
-        .select(col("subj"), col("pred"),
-          coalesce(col("obj_iri"), col("obj_lit")).as("obj"))
+      val tr = bgpTriples(s, dir)
       graft.operators.Bgp.solveMinus(tr,
           Seq(graft.operators.Bgp.Pattern("?page", V.WebMentions, "?ent")),
           Seq(graft.operators.Bgp.Pattern("?page", V.WebLang, "en")))
@@ -2001,13 +2002,10 @@ object SparkEntry {
         .toDF("ent_id", "iri", "name")
     }),
     // page dictionary (page_id -> url): lets oracles re-derive any
-    // page_id-keyed result in terms of the string-world subjects
-    "aux_page_ids" -> ((s, dir) => {
-      import s.implicits._
-      val n = PagesSynth.pageCount(dir)
-      s.range(0, n, 1, PagesSynth.rangeParts(s, n))
-        .map(i => (i, PagesSynth.urlAt(i, n))).toDF("page_id", "url")
-    }),
+    // page_id-keyed result in terms of the string-world subjects (the ONE
+    // definition the encoded table's sidecar also writes)
+    "aux_page_ids" -> ((s, dir) =>
+      PagesSynth.pageDict(s, PagesSynth.pageCount(dir))),
     // per-stage outputs whose CARDINALITIES the kg_triples_by_pred oracle
     // recomputes against the emission contract
     "aux_extracted" -> ((s, dir) =>

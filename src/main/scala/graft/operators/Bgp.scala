@@ -82,11 +82,24 @@ object Bgp {
   def solveOptional(triples: DataFrame, required: Seq[Pattern],
       optionals: Seq[Seq[Pattern]]): DataFrame = {
     val base = solve(triples, required)
+    val requiredVars = base.columns.toSet
+    // vars minted by earlier optional groups: NULLABLE, so they can never
+    // be equi-join keys — SPARQL treats an unbound variable as COMPATIBLE
+    // (the join would have to match on null), Spark's equi join treats
+    // null as matching nothing. Chaining optionals through such a var
+    // silently diverges from SPARQL, so it is rejected loudly instead.
+    val optionalVars = scala.collection.mutable.Set[String]()
     optionals.foldLeft(base) { (acc, group) =>
       val g = solve(triples, group)
-      val shared = g.columns.filter(acc.columns.contains).toSeq
+      val shared = g.columns.filter(requiredVars.contains).toSeq
       require(shared.nonEmpty,
         s"OPTIONAL group shares no variable with the required pattern: ${group.mkString(", ")}")
+      val chained = g.columns.filter(optionalVars.contains)
+      require(chained.isEmpty,
+        s"OPTIONAL group references variables bound only by another OPTIONAL group " +
+          s"(${chained.mkString(", ")}) — unbound-compatible SPARQL semantics do not map " +
+          "to an equi join; nest the patterns into one group instead")
+      optionalVars ++= g.columns.filterNot(requiredVars.contains)
       acc.join(g, shared, "left")
     }
   }

@@ -200,23 +200,36 @@ object KgPipeline {
       objLit.as("obj_lit"), objType.as("obj_type")) ++ keep.map(col): _*)
   }
 
+  /** Shared decode front half for the in-memory encoded stream: resolve
+    * page urls from the corpus's id→url function, entity IRIs by dict
+    * join, optionally mint the crawl-segment graph label. ONE definition —
+    * the triple and quad decoders must never fork on resolution policy. */
+  private def urlResolved(enc: Dataset[EncTriple], n: Long,
+      segSize: Option[Long]): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val withUrl = segSize match {
+      case Some(sz) => enc.mapPartitions(_.map(t =>
+          (PagesSynth.urlAt(t.page_id, n), s"graft:seg_${t.page_id / sz}",
+            t.pred_id, t.ent_id, t.lit)))
+        .toDF("url", "graph", "pred_id", "ent_id", "lit")
+      case None => enc.mapPartitions(_.map(t =>
+          (PagesSynth.urlAt(t.page_id, n), t.pred_id, t.ent_id, t.lit)))
+        .toDF("url", "pred_id", "ent_id", "lit")
+    }
+    val dict = PagesSynth.entityDict(spark).withColumnRenamed("iri", "ent_iri")
+    withUrl.join(dict, Seq("ent_id"), "left")
+  }
+
   /** [[decodeTriples]] as N-Quads rows: every triple labeled with its crawl
     * segment's named graph (`graft:seg_<page_id DIV segSize>`) — the
     * provenance partitioning a crawl-scale graph table ships with, so a
     * consumer can trace any triple back to (and reprocess) exactly one
     * ingest segment. Same 1:1 row decode as [[decodeTriples]]. */
-  def decodeQuads(enc: Dataset[EncTriple], n: Long, segSize: Long = 1000L): DataFrame = {
-    val spark = enc.sparkSession
-    import spark.implicits._
-    val withUrl = enc.mapPartitions(_.map(t =>
-        (PagesSynth.urlAt(t.page_id, n), s"graft:seg_${t.page_id / segSize}",
-          t.pred_id, t.ent_id, t.lit)))
-      .toDF("url", "graph", "pred_id", "ent_id", "lit")
-    val dict = PagesSynth.entityDict(spark).withColumnRenamed("iri", "ent_iri")
-    decodeColumnsWith(withUrl.join(dict, Seq("ent_id"), "left"),
+  def decodeQuads(enc: Dataset[EncTriple], n: Long, segSize: Long = 1000L): DataFrame =
+    decodeColumnsWith(urlResolved(enc, n, Some(segSize)),
       PredVocab.zipWithIndex.map(_.swap).toMap,
       Langs.zipWithIndex.map(_.swap).toMap, Seq("graph"))
-  }
 
   /** Triple emission for the in-memory encoded stream: entity IRIs resolve
     * by JOIN against the entity dictionary Dataset (AQE broadcasts it while
@@ -226,16 +239,9 @@ object KgPipeline {
     * dictionary instead, EncodedGraphTable.read). Spec-locked
     * multiset-identical to [[triples]] (modulo the once-per-job ontology
     * triples, emitted separately). */
-  def decodeTriples(enc: Dataset[EncTriple], n: Long): Dataset[Triple] = {
-    val spark = enc.sparkSession
-    import spark.implicits._
-    val withUrl = enc.mapPartitions(_.map(t =>
-        (PagesSynth.urlAt(t.page_id, n), t.pred_id, t.ent_id, t.lit)))
-      .toDF("url", "pred_id", "ent_id", "lit")
-    val dict = PagesSynth.entityDict(spark).withColumnRenamed("iri", "ent_iri")
-    decodeColumns(withUrl.join(dict, Seq("ent_id"), "left"),
+  def decodeTriples(enc: Dataset[EncTriple], n: Long): Dataset[Triple] =
+    decodeColumns(urlResolved(enc, n, None),
       PredVocab.zipWithIndex.map(_.swap).toMap, Langs.zipWithIndex.map(_.swap).toMap)
-  }
 
   /** Encoded emission from an EXTRACTED page stream (batch or streaming —
     * the encoded table's catch-up path): mention/base rows emit narrow with

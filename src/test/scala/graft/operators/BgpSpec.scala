@@ -96,6 +96,34 @@ class BgpSpec extends SparkTestBase {
     assert(e.getMessage.contains("OPTIONAL"))
   }
 
+  test("an OPTIONAL group chained through another group's variable is rejected") {
+    // ?e is bound only by the first optional group: it is NULLABLE there,
+    // and SPARQL's unbound-compatible semantics cannot map to an equi
+    // join — must be rejected, not silently mis-joined
+    // a group with NO required-var anchor trips the first guard
+    intercept[IllegalArgumentException] {
+      Bgp.solveOptional(triples,
+        Seq(Pattern("?p", "lang", "?l")),
+        Seq(Seq(Pattern("?p", "mentions", "?e")),
+            Seq(Pattern("?e", "name", "?n"))))
+    }
+    // a group anchored on ?p but ALSO re-using group 1's nullable ?e trips
+    // the chained-variable guard specifically
+    val e = intercept[IllegalArgumentException] {
+      Bgp.solveOptional(triples,
+        Seq(Pattern("?p", "lang", "?l")),
+        Seq(Seq(Pattern("?p", "mentions", "?e")),
+            Seq(Pattern("?p", "mentions", "?e"))))
+    }
+    assert(e.getMessage.contains("another OPTIONAL group"))
+    // but two INDEPENDENT groups, each anchored on required vars, are fine
+    val ok = Bgp.solveOptional(triples,
+      Seq(Pattern("?p", "lang", "?l")),
+      Seq(Seq(Pattern("?p", "mentions", "?e")),
+          Seq(Pattern("?p", "lang", "en"))))
+    assert(ok.columns.toSet === Set("p", "l", "e"))
+  }
+
   test("MINUS drops bindings with a compatible minus solution; unshared group rejected") {
     val sp = spark; import sp.implicits._
     val out = Bgp.solveMinus(triples,
