@@ -111,17 +111,20 @@ object SparkEntry {
   }
 
   /** Shared (subj, pred, obj) view for the BGP contract queries,
-    * localCheckpointed: Bgp compiles one scan per pattern, and without the
-    * cut the whole synth→encode→decode lineage would re-run once per
+    * localCheckpointed: Bgp compiles one scan per pattern, and without
+    * the cut the whole encode→decode lineage would re-run once per
     * pattern (the kg_comention_lift discipline applied to the pattern
-    * family). `withOntology` adds the once-per-corpus ontology triples
-    * (the rdf:name chain target). */
+    * family). Always the dictionary-encoded decode path — the cheap one;
+    * `withOntology` unions in the once-per-corpus ontology triples (the
+    * rdf:name chain target) rather than switching to the slower
+    * string-world pipeline (the two are spec-locked multiset-identical). */
   private def bgpTriples(s: SparkSession, dir: String,
       withOntology: Boolean = false): DataFrame = {
     val n = PagesSynth.pageCount(dir)
+    val decoded = KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
     val base =
-      if (withOntology) KgPipeline.triples(s, n).toDF()
-      else KgPipeline.decodeTriples(KgPipeline.encodedTriples(s, n), n).toDF()
+      if (withOntology) decoded.unionAll(KgPipeline.ontologyTriples(s).toDF())
+      else decoded
     base.select(col("subj"), col("pred"),
       coalesce(col("obj_iri"), col("obj_lit")).as("obj")).localCheckpoint()
   }

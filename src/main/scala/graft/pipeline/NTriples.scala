@@ -229,9 +229,18 @@ object NTriples {
   /** Per-line error isolation for foreign files: a malformed line becomes a
     * Left(message) instead of failing the task — the P6 discipline
     * (per-object error isolation, cj/CjGeometry.scala) applied to the
-    * interchange boundary, where other people's files are the norm. */
+    * interchange boundary, where other people's files are the norm.
+    * Accepts N-Quads lines too (graph label DROPPED — N-Quads is a
+    * superset format and a triple consumer reading a quads file should
+    * see the triples, not an empty result); genuinely malformed tails
+    * still error. */
   def parseEither(ln: String): Either[String, Triple] =
-    try Right(parse(ln))
+    parseQuadEither(ln).map(_._1)
+
+  /** The ONE lenient parse shared by both distributed readers — a fix to
+    * the error channel lands in one place. */
+  def parseQuadEither(ln: String): Either[String, (Triple, String)] =
+    try Right(parseQuad(ln))
     catch { case e if scala.util.control.NonFatal(e) => Left(String.valueOf(e.getMessage)) }
 
   /** GraphSink over N-Triples text files: the interchange layout. */
@@ -289,13 +298,13 @@ object NTriples {
     def readAll(spark: SparkSession, target: String): DataFrame = {
       import spark.implicits._
       spark.read.textFile(target).map { ln =>
-        (try {
-          val (t, g) = parseQuad(ln)
-          (t.subj, t.pred, t.obj_iri, t.obj_lit, t.obj_type, g, null: String)
-        } catch { case e if scala.util.control.NonFatal(e) =>
-          (null: String, null: String, null: String, null: String, null: String,
-            null: String, String.valueOf(e.getMessage))
-        })
+        parseQuadEither(ln) match {
+          case Right((t, g)) =>
+            (t.subj, t.pred, t.obj_iri, t.obj_lit, t.obj_type, g, null: String)
+          case Left(err) =>
+            (null: String, null: String, null: String, null: String, null: String,
+              null: String, err)
+        }
       }.toDF("subj", "pred", "obj_iri", "obj_lit", "obj_type", "graph", "_error")
     }
 

@@ -49,7 +49,9 @@ class AqeSkewJoinSpec extends SparkTestBase {
       assert(finalPlan.contains("skew=true"),
         s"AQE did not mark the skewed join:\n$finalPlan")
     } finally {
-      Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      Seq("spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         "spark.sql.adaptive.coalescePartitions.enabled",

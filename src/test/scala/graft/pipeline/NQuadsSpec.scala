@@ -62,6 +62,20 @@ class NQuadsSpec extends SparkTestBase {
     assert(good === rows.toSet)
   }
 
+  test("the lenient TRIPLE reader accepts a quads file (graph dropped, not an empty result)") {
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 20).map(i =>
+      (s"http://ex.org/page/$i", "web:mentions", s"ent:e$i",
+        null: String, null: String, s"graft:seg_$i"))
+    val dir = java.nio.file.Files.createTempDirectory("nq_as_nt").toString
+    NTriples.Quads.write(rows.toDF("subj", "pred", "obj_iri", "obj_lit", "obj_type", "graph"), dir, 2)
+    // N-Quads is a superset format: the triple reader must surface the
+    // triples (graph dropped), never silently return nothing
+    val asTriples = new NTriples.Files(2).read(spark, dir)
+    assert(asTriples.count() === 20)
+    assert(asTriples.columns.toSeq === Seq("subj", "pred", "obj_iri", "obj_lit", "obj_type"))
+  }
+
   test("decodeQuads is decodeTriples plus the segment graph, row for row") {
     val sp = spark; import sp.implicits._
     val n = 2000L
