@@ -129,6 +129,45 @@ object SparkEntry {
       coalesce(col("obj_iri"), col("obj_lit")).as("obj")).localCheckpoint()
   }
 
+  /** Deterministic global training-order shuffle: every doc gets its
+    * 1-based position in the (md5(text), doc_id) total order — rerun-stable
+    * at any parallelism (never rand()); a different epoch salt would just
+    * prepend to the digest. Scale shape: hierarchical two-phase rank (the
+    * doc_pack_shards discipline, corpus-wide): docs rank WITHIN their
+    * 16^prefixLen digest-prefix blocks (bounded partitions); the only
+    * unpartitioned window runs over the block-subtotal aggregate — no
+    * single task ever sorts the corpus (plan-locked). The OUTPUT is
+    * prefix-length-invariant (spec-locked): prefix blocks are contiguous
+    * ranges of the digest total order, so block-local rank + exclusive
+    * block offset reproduces the same global position at any fan. */
+  private[graft] def shuffleGlobalPos(docs: DataFrame, prefixLen: Int): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen out of range: $prefixLen")
+    val d = docs
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+      .withColumn("blk", substring(col("dg"), 1, prefixLen))
+    val offsets = d.groupBy("blk").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum("n").over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "offset")
+    d.withColumn("rk", row_number().over(
+        Window.partitionBy("blk").orderBy(col("dg"), col("doc_id"))))
+      .join(offsets, "blk")
+      .select(col("doc_id"), (col("offset") + col("rk")).as("pos"))
+  }
+
+  /** Hex-prefix length for a corpus of `n` docs (r7): the smallest p with
+    * n / 16^p at or under `maxBlockRows`, so no block's window sort
+    * exceeds a task-sized row count; capped at 8 (16^8 ≈ 4.3e9 blocks —
+    * past any real corpus). The subtotal window then sees 16^p rows,
+    * still metadata-sized (65k at p=4 for a 10^11-doc corpus). */
+  private[graft] def shufflePrefixLen(n: Long, maxBlockRows: Long = 1L << 22): Int = {
+    var p = 1
+    var perBlock = n / 16
+    while (perBlock > maxBlockRows && p < 8) { p += 1; perBlock = perBlock / 16 }
+    p
+  }
+
   /** Flagship: the full web-text KG pipeline on the sf0.001-scaled corpus. */
   def entry(spark: SparkSession): DataFrame =
     KgPipeline.triples(spark, PagesSynth.pageCount("sf0.001")).toDF()
@@ -156,7 +195,13 @@ object SparkEntry {
       val ext = KgPipeline.extracted(PagesSynth.pages(s, PagesSynth.pageCount(dir)))
       val bc = s.sparkContext.broadcast(MentionDetect.buildDictionary(PagesSynth.aliasMap.keys))
       val mentions = ext.mapPartitions(_.flatMap(p => MentionDetect.detect(p.url, p.text, bc.value)))
-      Linker.linkRelational(mentions, PagesSynth.aliases(s).toDF())
+      // coalesce(1): the alias index HERE is a driver-local 444-row
+      // constant, but LocalTableScan parallelizes it to defaultParallelism
+      // — 32 tasks of 14 rows each feeding the min_by aggregation (r7,
+      // measured 0.5s of task time for 444 rows). Right-size the input to
+      // the data; linkRelational itself is unchanged and scales when the
+      // aliases are a real table.
+      Linker.linkRelational(mentions, PagesSynth.aliases(s).toDF().coalesce(1))
         .groupBy("entity_iri").agg(count(lit(1)).as("n_links"))
     }),
     "kg_comention_triangles" -> ((s, dir) => {
@@ -758,7 +803,15 @@ object SparkEntry {
       val c = t(dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(dir, "orders")
       val l = t(dir, "lineitem")
-      c.join(o, c("c_custkey") === o("o_custkey"))
+      // r7 (guide §3.1): without stats the planner estimated the filtered
+      // customer⋈orders side LARGER than lineitem and broadcast the FACT
+      // table (600k-row hash relation built serially on the driver, plan-
+      // captured in plans/r07/q3_priority_revenue_before.txt). The
+      // mktsegment filter keeps c⋈o at ~1/5 of orders — broadcast that
+      // side explicitly and stream lineitem, the only shape that survives
+      // a fact table too big to broadcast. Results unchanged (same inner
+      // equi-join).
+      broadcast(c.join(o, c("c_custkey") === o("o_custkey")))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
@@ -1441,27 +1494,12 @@ object SparkEntry {
     }),
     "doc_shuffle_global" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      // deterministic global training-order shuffle: every doc gets its
-      // 1-based position in the (md5(text), doc_id) total order —
-      // rerun-stable at any parallelism (never rand()), and a different
-      // epoch salt would just prepend to the digest. Scale shape: the
-      // hierarchical two-phase rank (the doc_pack_shards discipline,
-      // corpus-wide): docs rank WITHIN their 256 digest-prefix blocks
-      // (bounded partitions), the only unpartitioned window runs over the
-      // 256-row block-subtotal aggregate — no single task ever sorts the
-      // corpus (plan-locked)
-      val d = t(dir, "documents")
-        .select(col("doc_id"), md5(col("text")).as("dg"))
-        .withColumn("blk", substring(col("dg"), 1, 2))
-      val offsets = d.groupBy("blk").agg(count(lit(1)).as("n"))
-        .withColumn("offset", coalesce(
-          sum("n").over(Window.orderBy("blk")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("blk", "offset")
-      d.withColumn("rk", row_number().over(
-          Window.partitionBy("blk").orderBy(col("dg"), col("doc_id"))))
-        .join(offsets, "blk")
-        .select(col("doc_id"), (col("offset") + col("rk")).as("pos"))
+      // deterministic global training-order shuffle — see
+      // [[shuffleGlobalPos]]; the block fan is DERIVED from the corpus row
+      // count (r7): the former fixed 2-hex prefix meant corpus/256 rows in
+      // one task's window sort (~400 GB/task at 100 TB)
+      val docs = t(dir, "documents")
+      shuffleGlobalPos(docs, shufflePrefixLen(docs.count()))
     }),
     "doc_mixture_upsample" -> ((s, dir) => {
       implicit val sp: SparkSession = s

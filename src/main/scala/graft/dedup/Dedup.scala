@@ -36,6 +36,22 @@ object Dedup {
   private def textsById(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
 
+  /** Give a CPU-dense narrow pass at least the session's default
+    * parallelism (r7, guide §2.5 "input skew"): a small parquet input is a
+    * single row group, so its scan plans as ONE task and the signature
+    * pass — the dominant cost of every LSH dedup variant — runs serially
+    * no matter how many cores the session has. Hash-repartition on the id
+    * BEFORE the per-row signature work when (and only when) the scan
+    * under-parallelizes; the shuffle moves each text exactly once, and the
+    * signatures are pure per-row functions, so results are partition-
+    * invariant. At corpus scale the scan already yields >= cores
+    * partitions (row groups abound) and this is a no-op — the data
+    * never re-shuffles just for placement. */
+  private def fanOut(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key)) else df
+  }
+
   /** Per-doc OPH MinHash signature — THE single derivation every consumer
     * (bands, calibration, the aux_minhash_sigs oracle dump) builds on: the
     * frozen-signature discipline needs one code path, not three copies
@@ -45,9 +61,13 @@ object Dedup {
   def minhashSigs(docs: DataFrame): Dataset[(Long, Array[Long])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    fanOut(docs.select(col("doc_id").cast("long"), col("text")), "doc_id")
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        (id, TextOps.minhashSignatureOph(TextOps.shingleHashes(text)))
+        // raw (non-deduped) shingle array: OPH's bin-min is duplicate-
+        // invariant, so this equals the Set path hash-for-hash while
+        // allocating one long[] instead of a boxed HashSet per document
+        (id, TextOps.minhashSignatureOph(TextOps.shingleHashesRaw(text)))
       })
   }
 
@@ -137,7 +157,9 @@ object Dedup {
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"), col("text_a"), col("text_b"))
       .as[(Long, Long, String, String)]
       .mapPartitions(_.flatMap { case (a, b, ta, tb) =>
-        val j = TextOps.jaccardL(TextOps.shingleHashes(ta), TextOps.shingleHashes(tb))
+        val j = TextOps.jaccardSorted(
+          TextOps.sortedDistinct(TextOps.shingleHashesRaw(ta)),
+          TextOps.sortedDistinct(TextOps.shingleHashesRaw(tb)))
         if (j >= threshold) Some((a, b, j)) else None
       })
       .toDF("doc_a", "doc_b", "jaccard")
@@ -224,6 +246,16 @@ object Dedup {
   def recapBandIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val tmp = s"${table}_recap_tmp"
     val old = s"${table}_recap_old"
+    // crash recovery FIRST (r7 advice fix): a crash between the two renames
+    // below leaves the table name unbound with the original preserved as
+    // <table>_recap_old. Restore it BEFORE the pre-drops — the old order
+    // dropped _recap_old and then failed at spark.table(table), destroying
+    // the only remaining copy of the index.
+    val cat = spark.sessionState.catalog
+    def exists(t: String) =
+      cat.tableExists(spark.sessionState.sqlParser.parseTableIdentifier(t))
+    if (!exists(table) && exists(old))
+      spark.sql(s"ALTER TABLE $old RENAME TO $table")
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.sql(s"DROP TABLE IF EXISTS $old")
     capBuckets(spark.table(table), Seq("band", "band_hash"), "doc_id")
@@ -268,7 +300,9 @@ object Dedup {
       .select(col("doc_new").cast("long"), col("doc_old").cast("long"), col("text_n"), col("text_o"))
       .as[(Long, Long, String, String)]
       .mapPartitions(_.flatMap { case (n, o, tn, to) =>
-        val j = TextOps.jaccardL(TextOps.shingleHashes(tn), TextOps.shingleHashes(to))
+        val j = TextOps.jaccardSorted(
+          TextOps.sortedDistinct(TextOps.shingleHashesRaw(tn)),
+          TextOps.sortedDistinct(TextOps.shingleHashesRaw(to)))
         if (j >= threshold) Some((n, o, j)) else None
       })
       .toDF("doc_new", "doc_old", "jaccard")
@@ -306,10 +340,17 @@ object Dedup {
         var m = 0
         var i = 0
         while (i < sa.length) { if (sa(i) == sb(i)) m += 1; i += 1 }
-        val ha = TextOps.shingleHashes(ta)
-        val hb = TextOps.shingleHashes(tb)
-        val inter = ha.count(hb.contains).toLong
-        (m, inter, ha.size + hb.size - inter)
+        val ha = TextOps.sortedDistinct(TextOps.shingleHashesRaw(ta))
+        val hb = TextOps.sortedDistinct(TextOps.shingleHashesRaw(tb))
+        var inter = 0L
+        var x = 0
+        var y = 0
+        while (x < ha.length && y < hb.length) {
+          if (ha(x) == hb(y)) { inter += 1; x += 1; y += 1 }
+          else if (ha(x) < hb(y)) x += 1
+          else y += 1
+        }
+        (m, inter, ha.length + hb.length - inter)
       }).toDF("matching_slots", "inter", "un")
       .groupBy(col("matching_slots"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -321,7 +362,8 @@ object Dedup {
   def simhashes(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    fanOut(docs.select(col("doc_id").cast("long"), col("text")), "doc_id")
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, TextOps.simhash64(t)) })
       .toDF("doc_id", "simhash")
   }
@@ -359,7 +401,8 @@ object Dedup {
   def embeddingPairs(emb: DataFrame, threshold: Double, bits: Int = 10): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bucketed = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+    val bucketed = fanOut(emb.select(col("vec_id").cast("long"), col("embedding")), "vec_id")
+      .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) => (TextOps.hyperplaneBucket(v, bits), id, v) })
       .toDF("bucket", "vec_id", "embedding")
     capBuckets(bucketed, Seq("bucket"), "vec_id")

@@ -136,19 +136,34 @@ object GraphSink {
       }
     }
 
-    def write(triples: Dataset[Triple], target: String): Unit =
+    def write(triples: Dataset[Triple], target: String): Unit = {
       commit(triples.repartition(parts, col("subj")), target)
+      ()
+    }
 
-    private def commit(ds: Dataset[Triple], target: String): Unit = {
+    /** Allocate the next snapshot id, write the data, swap the pointer.
+      * Returns the id THIS commit allocated (never re-derived from the
+      * pointer afterwards — under a concurrent commit or the torn-pointer
+      * fallback a re-read could name someone else's snapshot). */
+    private def commit(ds: Dataset[Triple], target: String): Long = {
       val spark = ds.sparkSession
       val id = snapshots(spark, target).lastOption.getOrElse(0L) + 1
       ds.write.mode(SaveMode.ErrorIfExists).parquet(s"$target/snap=$id")
-      // data is fully durable before the pointer moves. The pointer itself is
-      // committed by RENAME (the atomic step on HDFS/local FS) — an in-place
-      // create() truncates first, so a concurrent reader could observe an
-      // empty pointer. Filesystems whose rename refuses to overwrite take
-      // the delete+rename fallback; currentId covers that window by falling
-      // back to the newest complete snapshot.
+      finishCommit(spark, target, id)
+    }
+
+    /** Pointer swap + committed marker for an already-written snapshot dir.
+      * Data is fully durable before the pointer moves. The pointer itself is
+      * committed by RENAME (the atomic step on HDFS/local FS) — an in-place
+      * create() truncates first, so a concurrent reader could observe an
+      * empty pointer. Filesystems whose rename refuses to overwrite take
+      * the delete+rename fallback; currentId covers that window by falling
+      * back to the newest complete snapshot. The committed-marker lands
+      * AFTER the pointer swap: currentId's torn-pointer fallback trusts
+      * only marked snapshots, so a crash before the marker (pointer already
+      * valid) or before the rename (snapshot never committed) both resolve
+      * correctly. Returns `id`. */
+    private def finishCommit(spark: SparkSession, target: String, id: Long): Long = {
       val f = fs(spark, target)
       val tmp = new org.apache.hadoop.fs.Path(s"$target/_current.tmp")
       val cur = new org.apache.hadoop.fs.Path(s"$target/_current")
@@ -158,16 +173,38 @@ object GraphSink {
         f.delete(cur, false)
         require(f.rename(tmp, cur), s"could not commit snapshot pointer at $cur")
       }
-      // committed-marker AFTER the pointer swap: currentId's torn-pointer
-      // fallback trusts only marked snapshots, so a crash before this line
-      // (pointer already valid) or before the rename (snapshot never
-      // committed) both resolve correctly
       val mk = f.create(new org.apache.hadoop.fs.Path(s"$target/snap=$id/_COMMITTED"), true)
       mk.close()
+      id
+    }
+
+    /** Merge-on-read base pointer of a snapshot: Some(baseId) when the
+      * snapshot is a delete commit ([[forget]]) reading THROUGH an earlier
+      * snapshot, None for a physical snapshot. */
+    private[pipeline] def baseOf(spark: SparkSession, target: String, id: Long): Option[Long] = {
+      val f = fs(spark, target)
+      val p = new org.apache.hadoop.fs.Path(s"$target/snap=$id/_BASE")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        Some(s.toLong)
+      }
     }
 
     def readAsOf(spark: SparkSession, target: String, id: Long): DataFrame =
-      spark.read.parquet(s"$target/snap=$id").select(tripleCols: _*)
+      baseOf(spark, target, id) match {
+        case Some(base) =>
+          // merge-on-read: apply this snapshot's delete sidecar to the base
+          // chain at read time — the underscore-prefixed sidecar dir is
+          // invisible to the parquet reader, so a physical snapshot's scan
+          // never sees it
+          readAsOf(spark, target, base)
+            .join(spark.read.parquet(s"$target/snap=$id/_deletes"), Seq("subj"), "left_anti")
+            .select(tripleCols: _*)
+        case None =>
+          spark.read.parquet(s"$target/snap=$id").select(tripleCols: _*)
+      }
 
     /** Incremental (CDC) read — Iceberg's changelog-table analog: the
       * multiset delta between two committed snapshots, each row tagged
@@ -198,13 +235,25 @@ object GraphSink {
       readAsOf(spark, target, currentId(spark, target))
 
     /** Retention: drop all but the newest `keep` snapshots (never the
-      * current pointer's target) — Iceberg's expire_snapshots. Time travel
-      * to an expired id then fails loudly at read. */
+      * current pointer's target, and never a snapshot a KEPT merge-on-read
+      * snapshot still reads through — Iceberg never expires files reachable
+      * from a live snapshot). Physical erasure of forgotten rows is
+      * therefore [[compact]] (materializing rewrite) + expire, the
+      * rewrite_data_files → expire_snapshots two-step. Time travel to an
+      * expired id fails loudly at read. */
     def expire(spark: SparkSession, target: String, keep: Int): Seq[Long] = {
       require(keep >= 1, "must keep at least the current snapshot")
       val f = fs(spark, target)
       val cur = currentId(spark, target)
-      val victims = snapshots(spark, target).dropRight(keep).filterNot(_ == cur)
+      val all = snapshots(spark, target)
+      var kept = all.takeRight(keep).toSet + cur
+      // transitive closure over merge-on-read base pointers
+      var frontier: Set[Long] = kept
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(id => baseOf(spark, target, id)).diff(kept)
+        kept ++= frontier
+      }
+      val victims = all.filterNot(kept)
       victims.foreach { id =>
         f.delete(new org.apache.hadoop.fs.Path(s"$target/snap=$id"), true)
       }
@@ -212,24 +261,31 @@ object GraphSink {
     }
 
     /** Right-to-be-forgotten deletion (the GDPR-erasure / takedown shape at
-      * crawl scale): commit a NEW snapshot containing every current triple
-      * EXCEPT those whose subject is on the forget list. The delete is
-      * itself a versioned commit — auditable via [[readChanges]] (pure
-      * 'delete' rows), reversible until [[expire]] drops the older
-      * snapshots, at which point the erased rows physically leave the
-      * store (erasure = forget + expire, the two-step every snapshot store
-      * uses). The forget list arrives as a Dataset, never a driver
-      * collection — a takedown batch can be millions of urls — and applies
-      * as ONE left-anti join on the subject key the table is already
-      * partitioned by (AQE broadcasts small lists). Returns the new
-      * snapshot id. */
+      * crawl scale), as a MERGE-ON-READ delete commit (r7): the new
+      * snapshot carries ONLY the forget list as a `_deletes` parquet
+      * sidecar plus a `_BASE` pointer to the snapshot it reads through —
+      * O(|takedown batch|) bytes written, where the previous implementation
+      * re-wrote EVERY kept row (a 100 TB store paid a full-corpus
+      * copy-on-write per takedown call). [[readAsOf]] applies the sidecar
+      * as one left-anti join on the subject key the table is partitioned
+      * by (AQE broadcasts small lists); the base snapshot's files are
+      * byte-untouched (spec-locked). The delete is versioned — auditable
+      * via [[readChanges]] (pure 'delete' rows), time-travelable until
+      * expiry. Physical erasure is [[compact]] (materializes the anti-join
+      * into a plain snapshot) + [[expire]] (drops the now-unreferenced
+      * older snapshots) — Iceberg's rewrite_data_files → expire_snapshots
+      * two-step. The forget list arrives as a Dataset, never a driver
+      * collection. Returns the id allocated by THIS commit. */
     def forget(spark: SparkSession, target: String, subjects: Dataset[String]): Long = {
       import spark.implicits._
-      val kept = read(spark, target)
-        .join(subjects.toDF("subj"), Seq("subj"), "left_anti")
-        .select(tripleCols: _*).as[Triple]
-      commit(kept.repartition(parts, col("subj")), target)
-      currentId(spark, target)
+      val baseId = currentId(spark, target)
+      val id = snapshots(spark, target).lastOption.getOrElse(0L) + 1
+      subjects.toDF("subj").write
+        .mode(SaveMode.ErrorIfExists).parquet(s"$target/snap=$id/_deletes")
+      val f = fs(spark, target)
+      val bp = f.create(new org.apache.hadoop.fs.Path(s"$target/snap=$id/_BASE"), false)
+      try bp.write(baseId.toString.getBytes("UTF-8")) finally bp.close()
+      finishCommit(spark, target, id)
     }
 
     /** Compaction (the OPTIMIZE / rewrite_data_files analog): rewrite the
@@ -242,7 +298,6 @@ object GraphSink {
     def compact(spark: SparkSession, target: String, compactParts: Int = 8): Long = {
       import spark.implicits._
       commit(read(spark, target).as[Triple].repartition(compactParts, col("subj")), target)
-      currentId(spark, target)
     }
   }
 

@@ -104,12 +104,18 @@ object Warc {
         val out = new java.io.BufferedOutputStream(fs.create(tmp, true))
         try it.foreach(p => out.write(gzipMember(record(p.url, p.warc_ts, p.html))))
         finally out.close()
-        // FIRST-attempt-wins: attempts write identical bytes, so if the
-        // rename loses the race (a faster attempt already committed dst)
-        // this temp is simply discarded — a committed file is NEVER
-        // deleted, so there is no window where a kill between delete and
-        // rename could lose data the job already reported as written
-        if (!fs.rename(tmp, dst)) {
+        // FIRST-attempt-wins: attempts write identical bytes, so a loser
+        // discards its temp and a committed file is never deleted. The
+        // exists-check BEFORE the rename (r7 advice fix) is what enforces
+        // it on filesystems whose rename OVERWRITES an existing dst
+        // (RawLocalFileSystem / POSIX rename(2), some object stores) —
+        // relying on rename-refuses-overwrite let a slow retried attempt
+        // silently replace the committed file. The residual exists→rename
+        // race is benign for exactly the identical-bytes reason; a
+        // transactional commit needs the catalog seam (Iceberg).
+        if (fs.exists(dst)) {
+          fs.delete(tmp, false)
+        } else if (!fs.rename(tmp, dst)) {
           require(fs.exists(dst),
             s"rename $tmp -> $dst failed and no committed file exists")
           fs.delete(tmp, false)

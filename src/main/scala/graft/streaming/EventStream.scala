@@ -155,7 +155,16 @@ object EventStream {
     * every emission regardless of arrival order, so a downstream exact
     * count over the candidates makes the output exact, exactly like the
     * batch operator. State is O(k) per group forever — the bounded-state
-    * discipline every streaming operator here follows. */
+    * discipline every streaming operator here follows.
+    *
+    * CONSUMER CONTRACT (r7 advice fix): emissions are ADDITIVE CANDIDATE
+    * EVIDENCE only. Items evicted by the decrement step are NOT retracted
+    * (update mode emits the current set; no weight-0 tombstones), so a
+    * sink keyed on (group, item) retains rows whose weights the MG
+    * guarantee no longer covers. Treat the LATEST emission per group as
+    * the live candidate set, or re-verify any materialized union with
+    * exact counts — the same verification step the MG bound requires
+    * anyway before trusting a candidate as a true heavy hitter. */
   class HeavyHittersProcessor(k: Int)
       extends StatefulProcessor[String, (String, String), (String, String, Long)] {
     @transient private var sketch: ValueState[Map[String, Long]] = _

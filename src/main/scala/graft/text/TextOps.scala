@@ -74,16 +74,21 @@ object TextOps {
   }
 
   // --------------------------------------------------------------- simhash
-  /** 64-bit SimHash over word unigrams. */
+  /** 64-bit SimHash over word unigrams (r7: token hashes stream through
+    * [[tokenNormHashes]] — same values, no per-token Token/String
+    * allocation in the signature pass). */
   def simhash64(text: String): Long = {
     val v = new Array[Int](64)
-    Tokenize.tokens(text).foreach { t =>
-      val h = hash64(t.norm)
+    val th = tokenNormHashes(text)
+    var t = 0
+    while (t < th.length) {
+      val h = th(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
         b += 1
       }
+      t += 1
     }
     var out = 0L
     var b = 0
@@ -159,6 +164,100 @@ object TextOps {
     out.result()
   }
 
+  /** Per-token norm hashes, streaming (r7) — allocation-lean equivalent of
+    * `Tokenize.tokens(text).map(t => hash64(t.norm))` (spec-locked equal):
+    * the FNV fold runs over the lowercased chars IN PLACE, so the hot dedup
+    * signature pass allocates one long[] per document instead of a Token
+    * vector plus two strings per token (the measured GC driver of the LSH
+    * queries). Tokens containing the only chars whose String.toLowerCase
+    * mapping is not the 1:1 Character.toLowerCase mapping under ROOT —
+    * İ U+0130 (full mapping expands to i + U+0307) and Σ U+03A3 (final
+    * sigma is position-conditional) — fall back to the materializing path,
+    * so the streamed hash equals the frozen definition for EVERY input. */
+  def tokenNormHashes(text: String): Array[Long] = {
+    val n = text.length
+    var out = new Array[Long](16)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (Character.isLetterOrDigit(text.charAt(i))) {
+        val s = i
+        var h = 0xcbf29ce484222325L
+        var special = false
+        while (i < n && Character.isLetterOrDigit(text.charAt(i))) {
+          val c = text.charAt(i)
+          if (c == 'İ' || c == 'Σ') special = true
+          h ^= Character.toLowerCase(c)
+          h *= 0x100000001b3L
+          i += 1
+        }
+        val hv =
+          if (special) hash64(text.substring(s, i).toLowerCase(java.util.Locale.ROOT))
+          else mix64(h)
+        if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+        out(m) = hv
+        m += 1
+      } else i += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** k-shingle hashes as a RAW (unsorted, possibly duplicated) long[] —
+    * same VALUES as [[shingleHashes]] (the set is exactly the distinct of
+    * this array; spec-locked). The OPH signature consumer is order- and
+    * duplicate-invariant (per-bin minimum), so it can take this directly;
+    * exact-Jaccard consumers apply [[sortedDistinct]] first. */
+  def shingleHashesRaw(text: String, k: Int = 3): Array[Long] = {
+    val th = tokenNormHashes(text)
+    val n = th.length
+    if (n == 0) return Array.emptyLongArray
+    if (n < k) {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < n) { h = mix64(h ^ th(i)); i += 1 }
+      Array(h)
+    } else {
+      val out = new Array[Long](n - k + 1)
+      var i = 0
+      while (i + k <= n) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + k) { h = mix64(h ^ th(j)); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** in-place sort + dedupe (mutates `a`; returns the compacted array) */
+  def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.length == 0) return a
+    java.util.Arrays.sort(a)
+    var m = 1
+    var i = 1
+    while (i < a.length) {
+      if (a(i) != a(m - 1)) { a(m) = a(i); m += 1 }
+      i += 1
+    }
+    if (m == a.length) a else java.util.Arrays.copyOf(a, m)
+  }
+
+  /** exact Jaccard over sorted-distinct hash arrays — merge-intersect,
+    * equals [[jaccardL]] on the corresponding sets (spec-locked) */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length == 0 && b.length == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
   def jaccard(a: Set[String], b: Set[String]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     val inter = a.count(b.contains)
@@ -205,15 +304,34 @@ object TextOps {
     * both to the same Jaccard-estimation contract). Deterministic:
     * output depends only on the input hash SET. */
   def minhashSignatureOph(hashes: Iterable[Long]): Array[Long] = {
-    val k = MinhashPerms
-    val sig = Array.fill(k)(Long.MaxValue)
+    val sig = Array.fill(MinhashPerms)(Long.MaxValue)
     hashes.foreach { h =>
       val m = mix64(h)
       val bin = (m >>> 58).toInt // top 6 bits -> 64 bins
       if (m < sig(bin)) sig(bin) = m
     }
-    // rotation densification: empty bin j takes the next occupied bin's
-    // value re-mixed with j (distinct per borrower, deterministic)
+    densifyOph(sig)
+  }
+
+  /** primitive-array overload for the hot signature pass (r7): bin-min is
+    * order- and duplicate-invariant, so the RAW shingle array feeds this
+    * directly — identical output to the Iterable path, zero boxing. */
+  def minhashSignatureOph(hashes: Array[Long]): Array[Long] = {
+    val sig = Array.fill(MinhashPerms)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val m = mix64(hashes(i))
+      val bin = (m >>> 58).toInt
+      if (m < sig(bin)) sig(bin) = m
+      i += 1
+    }
+    densifyOph(sig)
+  }
+
+  /** rotation densification: empty bin j takes the next occupied bin's
+    * value re-mixed with j (distinct per borrower, deterministic) */
+  private def densifyOph(sig: Array[Long]): Array[Long] = {
+    val k = MinhashPerms
     var anyOccupied = false
     var i = 0
     while (i < k && !anyOccupied) { anyOccupied = sig(i) != Long.MaxValue; i += 1 }

@@ -233,6 +233,37 @@ class PlanQualitySpec extends SparkTestBase {
     assert(windows.exists(_.partitionSpec.nonEmpty), plan.toString)
   }
 
+  test("shuffleGlobalPos: output is block-fan invariant and the 4-hex plan holds (r7)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the derived prefix keeps per-block row counts bounded
+    assert(SparkEntry.shufflePrefixLen(5000L) === 1)
+    assert(SparkEntry.shufflePrefixLen(1L << 30) === 2)
+    assert(SparkEntry.shufflePrefixLen(1L << 40, maxBlockRows = 1L << 22) === 5)
+    // positions are IDENTICAL at any fan — blocks are contiguous digest
+    // ranges, so block rank + exclusive offset is the same total order
+    val p1 = SparkEntry.shuffleGlobalPos(docs, 1).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val p2 = SparkEntry.shuffleGlobalPos(docs, 2).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val p4 = SparkEntry.shuffleGlobalPos(docs, 4).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(p1.sameElements(p2))
+    assert(p1.sameElements(p4))
+    // at the 4-hex fan the unpartitioned window still consumes only the
+    // block-subtotal aggregate, never the document stream
+    val plan4 = SparkEntry.shuffleGlobalPos(docs, 4).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows4 = plan4.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows4.nonEmpty)
+    windows4.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val hasAgg = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }.nonEmpty
+      assert(hasAgg, s"unpartitioned window consumes the raw document stream:\n$w")
+    }
+  }
+
   test("kg_link_relational's alias join is broadcast by AQE choice, not a hint") {
     val df = SparkEntry.queries("kg_link_relational")(spark, sfDir)
     // no hint anywhere in the logical plan: the strategy must be the

@@ -45,16 +45,51 @@ class ForgetSpec extends SparkTestBase {
       .filter(col("subj") === "http://ex.org/p3").count() === 2)
   }
 
-  test("erasure = forget + expire: the old snapshot physically disappears") {
+  test("forget is metadata-sized: base files byte-identical, no data rewrite (r7)") {
     val sp = spark; import sp.implicits._
     val (sink, dir, _) = freshTable()
     val pre = sink.currentId(spark, dir)
-    sink.forget(spark, dir, Seq("http://ex.org/p0").toDS())
-    val victims = sink.expire(spark, dir, keep = 1)
-    assert(victims === Seq(pre))
-    intercept[Exception](sink.readAsOf(spark, dir, pre).count())
-    // current snapshot unaffected
+    def baseFiles() = {
+      val d = new java.io.File(s"$dir/snap=$pre")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => (f.getName, f.length(),
+          java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath))))
+        .toVector
+    }
+    val before = baseFiles()
+    val post = sink.forget(spark, dir, Seq("http://ex.org/p3").toDS())
+    // the base snapshot's data files are UNTOUCHED — the forget commit did
+    // not rewrite the table
+    assert(baseFiles() === before)
+    // the forget snapshot carries only metadata + the delete sidecar — no
+    // visible data files
+    val snapDir = new java.io.File(s"$dir/snap=$post")
+    assert(snapDir.listFiles().filter(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).isEmpty)
+    // and reads still resolve correctly through the base
+    assert(sink.read(spark, dir).filter(col("subj") === "http://ex.org/p3").count() === 0)
+  }
+
+  test("erasure = forget + compact + expire: forgotten rows physically leave the store") {
+    val sp = spark; import sp.implicits._
+    val (sink, dir, _) = freshTable()
+    val pre = sink.currentId(spark, dir)
+    val fid = sink.forget(spark, dir, Seq("http://ex.org/p0").toDS())
+    // expire alone must NOT drop the base a kept merge-on-read snapshot
+    // still reads through (Iceberg never expires reachable snapshots)
+    assert(sink.expire(spark, dir, keep = 1) === Seq.empty)
     assert(sink.read(spark, dir).filter(col("subj") === "http://ex.org/p0").count() === 0)
+    // compact materializes the anti-join physically; expire then erases
+    val cid = sink.compact(spark, dir, compactParts = 2)
+    val victims = sink.expire(spark, dir, keep = 1)
+    assert(victims === Seq(pre, fid))
+    intercept[Exception](sink.readAsOf(spark, dir, pre).count())
+    // nothing left on disk holds the forgotten subject: every surviving
+    // snapshot reads clean
+    sink.snapshots(spark, dir).foreach { id =>
+      assert(sink.readAsOf(spark, dir, id).filter(col("subj") === "http://ex.org/p0").count() === 0)
+    }
+    assert(sink.currentId(spark, dir) === cid)
   }
 
   test("forgetting absent subjects is a clean no-op commit") {
