@@ -56,21 +56,45 @@ object Bgp {
       }: _*)
     }
 
-    // greedy connected ordering: each folded pattern must share a variable
-    // with the bindings ACCUMULATED SO FAR (list order alone isn't enough —
-    // a pattern may connect only through one that appears later)
-    val ordered = scala.collection.mutable.Buffer(patterns.head)
-    val seen = scala.collection.mutable.Set(patterns.head.vars: _*)
-    var rest = patterns.tail
+    // greedy SELECTIVITY-ordered connected fold (r7): without CBO stats
+    // Catalyst does not reorder inner joins, so list order used to decide
+    // the join tree — a user writing the unselective pattern first
+    // shuffled the whole triple table before the selective one pruned.
+    // Order instead by the variable-counting heuristic (Stocker et al.,
+    // "SPARQL Basic Graph Pattern Optimization Using Selectivity
+    // Estimation", WWW'08): most-bound pattern first; ties by original
+    // list position (deterministic). Every later pick must still share a
+    // variable with the bindings ACCUMULATED SO FAR (connectivity
+    // constraint — requireConnected guarantees a pick always exists).
+    // Result multisets are join-order invariant; output column order may
+    // differ (callers and the driver compare columns by name).
+    val idx = patterns.zipWithIndex
+    val first = idx.minBy { case (pt, i) => (selectivityRank(pt), i) }
+    val ordered = scala.collection.mutable.Buffer(first._1)
+    val seen = scala.collection.mutable.Set(first._1.vars: _*)
+    var rest = idx.filterNot(_._2 == first._2)
     while (rest.nonEmpty) {
-      val i = rest.indexWhere(_.vars.exists(seen.contains)) // exists: connected
-      ordered += rest(i); seen ++= rest(i).vars
-      rest = rest.patch(i, Nil, 1)
+      val pick = rest.filter(_._1.vars.exists(seen.contains))
+        .minBy { case (pt, i) => (selectivityRank(pt), i) }
+      ordered += pick._1; seen ++= pick._1.vars
+      rest = rest.filterNot(_._2 == pick._2)
     }
     ordered.tail.foldLeft(scan(ordered.head)) { (acc, pt) =>
       val shared = pt.vars.filter(acc.columns.contains)
       acc.join(scan(pt), shared)
     }
+  }
+
+  /** Variable-counting selectivity rank — lower folds earlier. Constants
+    * beat variables; among equal counts a bound subject beats a bound
+    * object beats a bound predicate (predicates are the LOW-cardinality
+    * dimension of a triple table, so a predicate-only pattern is the least
+    * selective bound form — Stocker et al.'s ordering). */
+  private def selectivityRank(pt: Pattern): Int = {
+    val s = if (isVar(pt.s)) 0 else 4
+    val o = if (isVar(pt.o)) 0 else 2
+    val p = if (isVar(pt.p)) 0 else 1
+    -(s + o + p)
   }
 
   /** [[solve]] extended with SPARQL OPTIONAL groups (SPARQL 1.1 §6):

@@ -99,6 +99,22 @@ class BgpRandomSpec extends SparkTestBase {
     assert(nonEmpty >= 10, s"only $nonEmpty non-empty cases — generator too strict")
   }
 
+  test("solve is pattern-LIST-order invariant on 25 seeded shuffled cases (r7)") {
+    // the selectivity-ordered fold must produce the same binding multiset
+    // for EVERY permutation of the pattern list (the reorder is an
+    // optimization, never a semantics change)
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(9191)
+    for (i <- 0 until 25) {
+      val (triples, pats) = genCase(rnd)
+      val df = triples.toDF("subj", "pred", "obj")
+      val want = canon(refSolve(triples, pats))
+      val shuffled = rnd.shuffle(pats)
+      val got = canon(dfBindings(Bgp.solve(df, shuffled)))
+      assert(got === want, s"case $i: original=$pats shuffled=$shuffled")
+    }
+  }
+
   test("solveMinus matches reference set-minus-by-compatibility on seeded cases") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(777)

@@ -157,6 +157,27 @@ class BgpSpec extends SparkTestBase {
     assert(e.getMessage.contains("not bound"))
   }
 
+  test("selectivity ordering: the most-bound pattern folds first regardless of list order (r7)") {
+    // unselective predicate-only pattern listed FIRST; the (p,o)-bound
+    // pattern must still anchor the join tree (deepest-left leaf) — the
+    // Stocker et al. variable-counting order inside the connectivity
+    // constraint
+    val df = Bgp.solve(triples, Seq(
+      Pattern("?p", "mentions", "?e"),        // 1 constant (pred) — least selective
+      Pattern("?e", "name", "Entity One")))   // 2 constants — most selective
+    // analyzed plan (pre-constant-folding — LocalRelation tests would
+    // otherwise inline the filters away): left-deep fold ⇒ the
+    // first-folded pattern's filter prints before the other leaf's in
+    // pre-order
+    val s = df.queryExecution.analyzed.toString
+    assert(s.indexOf("Entity One") >= 0 && s.indexOf("mentions") >= 0, s)
+    assert(s.indexOf("Entity One") < s.indexOf("mentions"),
+      s"selective pattern did not fold first:\n$s")
+    // and the bindings are unchanged by the reorder
+    val rows = df.select("p", "e").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq === Seq(("p1", "e1"), ("p1", "e1"), ("p2", "e1")))
+  }
+
   test("constant terms push down to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("bgp").toString
     triples.write.mode("overwrite").parquet(dir)
