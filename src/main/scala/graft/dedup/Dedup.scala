@@ -197,7 +197,12 @@ object Dedup {
     * bounded per key. Contract: results of [[incrementalPairsIndexed]] over
     * this table are EXACTLY [[incrementalPairs]] over the same corpora. */
   def writeBandIndex(docs: DataFrame, table: String, buckets: Int = IndexBuckets): Unit =
+    // bucket-aligned repartition before the bucketed write (r7, guide §6):
+    // a bucketed write emits one file per (task, bucket); aligning tasks
+    // with buckets bounds the table at `buckets` files regardless of the
+    // upstream stage's task count or AQE coalescing
     capBuckets(minhashBands(docs), Seq("band", "band_hash"), "doc_id")
+      .repartition(buckets, col("band"), col("band_hash"))
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet")
@@ -215,14 +220,17 @@ object Dedup {
     * [[MaxBucket]] per append; run [[recapBandIndex]] periodically (the
     * OPTIMIZE analog) to re-apply the global cap across batches. Caller
     * owns exactly-once (append only batches actually accepted, once). */
-  def appendToBandIndex(docs: DataFrame, table: String): Unit =
+  def appendToBandIndex(docs: DataFrame, table: String): Unit = {
+    val buckets = tableBuckets(docs.sparkSession, table)
     capBuckets(minhashBands(docs), Seq("band", "band_hash"), "doc_id")
+      .repartition(buckets, col("band"), col("band_hash"))
       .write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet")
-      .bucketBy(tableBuckets(docs.sparkSession, table), "band", "band_hash")
+      .bucketBy(buckets, "band", "band_hash")
       .sortBy("band", "band_hash", "doc_id")
       .saveAsTable(table)
+  }
 
   /** The stored index's own bucket count, from catalog metadata — appends
     * and recaps must match it EXACTLY or the bucketed-read guarantee
@@ -258,10 +266,12 @@ object Dedup {
       spark.sql(s"ALTER TABLE $old RENAME TO $table")
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.sql(s"DROP TABLE IF EXISTS $old")
+    val buckets = tableBuckets(spark, table)
     capBuckets(spark.table(table), Seq("band", "band_hash"), "doc_id")
+      .repartition(buckets, col("band"), col("band_hash"))
       .write
       .format("parquet")
-      .bucketBy(tableBuckets(spark, table), "band", "band_hash")
+      .bucketBy(buckets, "band", "band_hash")
       .sortBy("band", "band_hash", "doc_id")
       .saveAsTable(tmp)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
@@ -520,7 +530,11 @@ object Dedup {
       val ss = d.select(col("v").as("u"), col("m").as("v"))
         .unionAll(d.select(col("u"), col("m").as("v")))
       val next = Checkpoints.cut(canon(ss), iter + 1, reliableEvery)
-      converged = next.unionAll(e).except(next.intersect(e)).isEmpty
+      // set-equality fixpoint test (r7): both sides are canonical DISTINCT
+      // edge sets, so |next| == |e| ∧ next \ e = ∅ ⟺ next = e — one count
+      // and one anti-join instead of the old union + intersect + except
+      // chain (three extra shuffles per round on the biggest intermediate)
+      converged = next.count() == e.count() && next.except(e).isEmpty
       e = next
       iter += 1
     }
