@@ -51,6 +51,14 @@ object BenchProbe {
         graft.pipeline.KgPipeline.triples(spark, graft.synth.PagesSynth.pageCount(sfDir)).toDF()
       else graft.SparkEntry.queries(name)(spark, sfDir)
 
+    // action: count (the frozen Bench action, default) or the noop sink
+    // (guide §1.4 — computes every column, isolates compute from the
+    // count's column pruning); GRAFT_PROBE_ACTION=noop selects it
+    val useNoop = sys.env.get("GRAFT_PROBE_ACTION").contains("noop")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (useNoop) df.write.format("noop").mode("overwrite").save()
+      else { df.count(); () }
+
     names.foreach { name =>
       // plan dump (pre-execution, AQE initial plan)
       val df = q(name)
@@ -60,7 +68,7 @@ object BenchProbe {
         plansDir.toPath.resolve(s"${name}_$suffix.txt"), planTxt)
 
       // warm-up (JIT + codegen), like Bench's warm pass
-      q(name).count()
+      run(q(name))
       System.gc()
 
       // timed passes, min of 5, Bench action; per-pass stage breakdown
@@ -69,7 +77,7 @@ object BenchProbe {
         System.gc()
         stages.clear()
         val t0 = System.nanoTime()
-        q(name).count()
+        run(q(name))
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(150)
         (sec, stages.asScala.toVector.sortBy(_._1))
